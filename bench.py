@@ -1,0 +1,89 @@
+"""Headline benchmark: real-time encode+decode streams per TPU chip at 16 kHz.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+North star (BASELINE.json): >=1000x real-time encode+decode per v5e chip at
+16 kHz, so vs_baseline = streams / 1000.
+
+Measurement notes: this environment reaches the TPU through a relay whose
+per-call latency (~35-50 ms, including device->host transfer) would swamp a
+naive timing loop, and block_until_ready does not reliably fence prior
+dispatches. Throughput is therefore measured *differentially*: time calls at
+two audio lengths (1 s and 10 s per stream) with a forced output transfer,
+and divide the extra wall time by the extra audio — fixed relay overhead
+cancels, leaving pure device throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _timed(fn, sync, iters=3):
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        sync(fn())
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    from task_aware_audio_coding_perceptual_tpu.models import rvq as rvq_lib
+    from task_aware_audio_coding_perceptual_tpu.models.codec import (
+        CodecConfig,
+        NeuralAudioCodec,
+    )
+
+    config = CodecConfig(dtype="bfloat16")  # MXU-friendly compute dtype
+    model = NeuralAudioCodec(config)
+
+    batch = 64  # concurrent streams per call
+    params = model.init(jax.random.key(0), jnp.zeros((1, config.hop * 2, 1)))
+    rvq_state = rvq_lib.init_rvq(
+        jax.random.key(1), config.num_quantizers, config.codebook_size, config.latent_dim
+    )
+
+    @jax.jit
+    def roundtrip(params, rvq_state, wav):
+        z = model.apply(params, wav, method=NeuralAudioCodec.encode)
+        q = rvq_lib.quantize(rvq_state, z)
+        return model.apply(params, q.quantized, method=NeuralAudioCodec.decode)
+
+    def sync(y):
+        np.asarray(y[0, 0, 0])  # transfer forces completion
+
+    rng = np.random.default_rng(0)
+    walls = {}
+    secs = {"short": 1.0, "long": 10.0}
+    for name, s in secs.items():
+        T = int(config.sample_rate * s)
+        T -= T % config.hop
+        wav = jnp.asarray(rng.standard_normal((batch, T, 1)).astype(np.float32))
+        sync(roundtrip(params, rvq_state, wav))  # compile + warm
+        walls[name] = _timed(lambda: roundtrip(params, rvq_state, wav), sync)
+
+    extra_audio = batch * (secs["long"] - secs["short"])
+    per_audio_second = (walls["long"] - walls["short"]) / extra_audio
+    streams = 1.0 / per_audio_second
+
+    print(
+        json.dumps(
+            {
+                "metric": "rt_encode_decode_streams_per_chip_16khz",
+                "value": round(streams, 1),
+                "unit": "streams (x real-time)",
+                "vs_baseline": round(streams / 1000.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -44,13 +44,14 @@ def measure_rtf(
     ``fn`` must return its outputs so ``block_until_ready`` can synchronize.
     """
     for _ in range(warmup):
-        out = fn()
-    jax.block_until_ready(out)
+        jax.block_until_ready(fn())
 
+    # Block after every call: on some backends (axon relay),
+    # block_until_ready on the last output does NOT imply earlier dispatches
+    # finished, which inflates throughput by orders of magnitude.
     start = time.perf_counter()
     for _ in range(iters):
-        out = fn()
-    jax.block_until_ready(out)
+        jax.block_until_ready(fn())
     wall = (time.perf_counter() - start) / iters
 
     rtf = wall / audio_seconds_per_call

@@ -1,0 +1,377 @@
+"""Neural audio codec: strided causal Conv1d encoder -> RVQ -> decoder.
+
+The north-star codec expression (BASELINE.json) of the reference's
+capabilities: the reference compresses spectrograms with an autoencoder +
+continuous bottleneck (``pkl_file_models.py``); this model compresses
+waveforms with a SoundStream/EnCodec-family architecture re-designed for
+TPU:
+
+- layout is (B, T, C) so channels sit on TPU lanes and convs lower to MXU
+  matmuls,
+- every conv is causal-capable; each module has a ``step`` method carrying
+  explicit left-context state, so streaming inference is a ``lax.scan`` over
+  chunks with *no host round-trips* (north-star config 3),
+- activations: Snake (periodic, per-channel learnable alpha) or ELU.
+
+``encode``/``decode``/``__call__`` mirror the codec API users expect;
+quantization is the functional RVQ in ``models/rvq.py``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class CodecConfig:
+    sample_rate: int = 16000
+    channels: int = 32  # base channel count
+    latent_dim: int = 128
+    strides: Tuple[int, ...] = (2, 4, 5, 8)  # total 320x -> 50 Hz at 16 kHz
+    dilations: Tuple[int, ...] = (1, 3, 9)
+    num_quantizers: int = 8
+    codebook_size: int = 1024
+    activation: str = "snake"  # "snake" | "elu"
+    causal: bool = True
+    dtype: str = "float32"
+
+    @property
+    def hop(self) -> int:
+        return int(np.prod(self.strides))
+
+    @property
+    def frame_rate(self) -> float:
+        return self.sample_rate / self.hop
+
+    @property
+    def bits_per_frame(self) -> int:
+        return self.num_quantizers * int(np.log2(self.codebook_size))
+
+    @property
+    def bitrate(self) -> float:
+        return self.frame_rate * self.bits_per_frame
+
+
+class Snake(nn.Module):
+    """Snake activation x + sin^2(a*x)/a with per-channel learnable alpha."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        log_alpha = self.param("log_alpha", nn.initializers.zeros, (self.features,))
+        alpha = jnp.exp(log_alpha)
+        return x + jnp.sin(alpha * x) ** 2 / (alpha + 1e-9)
+
+
+def _act(name: str, features: int):
+    if name == "snake":
+        return Snake(features)
+    elif name == "elu":
+        return nn.elu
+    raise ValueError(f"Unknown activation {name}")
+
+
+class CausalConv(nn.Module):
+    """1-D conv over (B, T, C); causal left padding; streaming ``step``."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    dilation: int = 1
+    dtype: object = jnp.float32
+
+    @property
+    def context(self) -> int:
+        return (self.kernel_size - 1) * self.dilation
+
+    def setup(self):
+        self.conv = nn.Conv(
+            self.features,
+            (self.kernel_size,),
+            strides=(self.stride,),
+            kernel_dilation=(self.dilation,),
+            padding="VALID",
+            dtype=self.dtype,
+        )
+
+    def __call__(self, x):
+        x = jnp.pad(x, ((0, 0), (self.context, 0), (0, 0)))
+        return self.conv(x)
+
+    def init_state(self, batch: int, in_features: int, dtype=jnp.float32):
+        return jnp.zeros((batch, self.context, in_features), dtype)
+
+    def step(self, x, state):
+        z = jnp.concatenate([state, x], axis=1)
+        y = self.conv(z)
+        new_state = z[:, z.shape[1] - self.context :, :] if self.context else state
+        return y, new_state
+
+
+class CausalConvTranspose(nn.Module):
+    """Causal transposed conv: output trimmed to T*stride; streaming carries
+    the (kernel - stride)-sample overlap-add tail."""
+
+    features: int
+    stride: int
+    dtype: object = jnp.float32
+
+    @property
+    def kernel_size(self) -> int:
+        return 2 * self.stride
+
+    @property
+    def tail(self) -> int:
+        return self.kernel_size - self.stride
+
+    def setup(self):
+        self.conv = nn.ConvTranspose(
+            self.features,
+            (self.kernel_size,),
+            strides=(self.stride,),
+            padding="VALID",
+            dtype=self.dtype,
+        )
+
+    def __call__(self, x):
+        y = self.conv(x)  # (B, T*s + tail, C)
+        return y[:, : x.shape[1] * self.stride, :]
+
+    def init_state(self, batch: int, dtype=jnp.float32):
+        return jnp.zeros((batch, self.tail, self.features), dtype)
+
+    def step(self, x, state):
+        y = self.conv(x)  # (B, Tc*s + tail, C)
+        emit = x.shape[1] * self.stride
+        y = y.at[:, : self.tail, :].add(state)
+        return y[:, :emit, :], y[:, emit:, :]
+
+
+class ResidualUnit(nn.Module):
+    """dilated conv k=7 -> act -> conv k=1, residual add (SoundStream-style)."""
+
+    dim: int
+    dilation: int
+    activation: str = "snake"
+    dtype: object = jnp.float32
+
+    def setup(self):
+        self.act1 = _act(self.activation, self.dim)
+        self.conv1 = CausalConv(self.dim, 7, dilation=self.dilation, dtype=self.dtype)
+        self.act2 = _act(self.activation, self.dim)
+        self.conv2 = CausalConv(self.dim, 1, dtype=self.dtype)
+
+    def __call__(self, x):
+        h = self.conv1(self.act1(x))
+        h = self.conv2(self.act2(h))
+        return x + h
+
+    def init_state(self, batch: int):
+        return (self.conv1.init_state(batch, self.dim),)
+
+    def step(self, x, state):
+        h, s1 = self.conv1.step(self.act1(x), state[0])
+        h = self.conv2(self.act2(h))  # k=1: stateless
+        return x + h, (s1,)
+
+
+class EncoderBlock(nn.Module):
+    out_dim: int
+    stride: int
+    dilations: Sequence[int]
+    activation: str = "snake"
+    dtype: object = jnp.float32
+
+    def setup(self):
+        in_dim = self.out_dim // 2
+        self.units = [
+            ResidualUnit(in_dim, d, self.activation, dtype=self.dtype)
+            for d in self.dilations
+        ]
+        self.act = _act(self.activation, in_dim)
+        self.down = CausalConv(
+            self.out_dim, 2 * self.stride, stride=self.stride, dtype=self.dtype
+        )
+
+    def __call__(self, x):
+        for u in self.units:
+            x = u(x)
+        return self.down(self.act(x))
+
+    def init_state(self, batch: int):
+        in_dim = self.out_dim // 2
+        return (
+            tuple(u.init_state(batch) for u in self.units),
+            self.down.init_state(batch, in_dim),
+        )
+
+    def step(self, x, state):
+        ustates, dstate = state
+        new_ustates = []
+        for u, s in zip(self.units, ustates):
+            x, ns = u.step(x, s)
+            new_ustates.append(ns)
+        y, nd = self.down.step(self.act(x), dstate)
+        return y, (tuple(new_ustates), nd)
+
+
+class DecoderBlock(nn.Module):
+    out_dim: int
+    stride: int
+    dilations: Sequence[int]
+    activation: str = "snake"
+    dtype: object = jnp.float32
+
+    def setup(self):
+        self.act = _act(self.activation, self.out_dim * 2)
+        self.up = CausalConvTranspose(self.out_dim, self.stride, dtype=self.dtype)
+        self.units = [
+            ResidualUnit(self.out_dim, d, self.activation, dtype=self.dtype)
+            for d in self.dilations
+        ]
+
+    def __call__(self, x):
+        x = self.up(self.act(x))
+        for u in self.units:
+            x = u(x)
+        return x
+
+    def init_state(self, batch: int):
+        return (
+            self.up.init_state(batch),
+            tuple(u.init_state(batch) for u in self.units),
+        )
+
+    def step(self, x, state):
+        ustate, rstates = state
+        x, nu = self.up.step(self.act(x), ustate)
+        new_r = []
+        for u, s in zip(self.units, rstates):
+            x, ns = u.step(x, s)
+            new_r.append(ns)
+        return x, (nu, tuple(new_r))
+
+
+class CodecEncoder(nn.Module):
+    config: CodecConfig
+
+    def setup(self):
+        cfg = self.config
+        dt = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+        self.stem = CausalConv(cfg.channels, 7, dtype=dt)
+        dims = [cfg.channels * 2 ** (i + 1) for i in range(len(cfg.strides))]
+        self.blocks = [
+            EncoderBlock(dims[i], cfg.strides[i], cfg.dilations, cfg.activation, dtype=dt)
+            for i in range(len(cfg.strides))
+        ]
+        self.final_act = _act(cfg.activation, dims[-1])
+        self.head = CausalConv(cfg.latent_dim, 3, dtype=dt)
+
+    def __call__(self, x):
+        """x: (B, T, 1) waveform -> (B, T/hop, latent_dim)."""
+        h = self.stem(x)
+        for b in self.blocks:
+            h = b(h)
+        return self.head(self.final_act(h))
+
+    def init_state(self, batch: int):
+        cfg = self.config
+        dims = [cfg.channels * 2 ** (i + 1) for i in range(len(cfg.strides))]
+        return (
+            self.stem.init_state(batch, 1),
+            tuple(b.init_state(batch) for b in self.blocks),
+            self.head.init_state(batch, dims[-1]),
+        )
+
+    def step(self, x, state):
+        stem_s, block_s, head_s = state
+        h, ns = self.stem.step(x, stem_s)
+        new_b = []
+        for b, s in zip(self.blocks, block_s):
+            h, nb = b.step(h, s)
+            new_b.append(nb)
+        y, nh = self.head.step(self.final_act(h), head_s)
+        return y, (ns, tuple(new_b), nh)
+
+
+class CodecDecoder(nn.Module):
+    config: CodecConfig
+
+    def setup(self):
+        cfg = self.config
+        rs = list(reversed(cfg.strides))
+        dt = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+        dims = [cfg.channels * 2 ** (len(cfg.strides) - i - 1) for i in range(len(rs))]
+        self.stem = CausalConv(dims[0] * 2, 7, dtype=dt)
+        self.blocks = [
+            DecoderBlock(dims[i], rs[i], cfg.dilations, cfg.activation, dtype=dt)
+            for i in range(len(rs))
+        ]
+        self.final_act = _act(cfg.activation, dims[-1])
+        self.head = CausalConv(1, 7, dtype=dt)
+
+    def __call__(self, z):
+        """z: (B, F, latent_dim) -> (B, F*hop, 1)."""
+        h = self.stem(z)
+        for b in self.blocks:
+            h = b(h)
+        return self.head(self.final_act(h)).astype(jnp.float32)
+
+    def init_state(self, batch: int):
+        cfg = self.config
+        dims = [cfg.channels * 2 ** (len(cfg.strides) - i - 1) for i in range(len(cfg.strides))]
+        return (
+            self.stem.init_state(batch, cfg.latent_dim),
+            tuple(b.init_state(batch) for b in self.blocks),
+            self.head.init_state(batch, dims[-1]),
+        )
+
+    def step(self, z, state):
+        stem_s, block_s, head_s = state
+        h, ns = self.stem.step(z, stem_s)
+        new_b = []
+        for b, s in zip(self.blocks, block_s):
+            h, nb = b.step(h, s)
+            new_b.append(nb)
+        y, nh = self.head.step(self.final_act(h), head_s)
+        return y.astype(jnp.float32), (ns, tuple(new_b), nh)
+
+
+class NeuralAudioCodec(nn.Module):
+    """Encoder+decoder pair; quantization is applied functionally outside
+    (see ``models/rvq.py``) so codes stay an explicit, serializable artifact."""
+
+    config: CodecConfig
+
+    def setup(self):
+        self.encoder = CodecEncoder(self.config)
+        self.decoder = CodecDecoder(self.config)
+
+    def __call__(self, x):
+        z = self.encoder(x)
+        return self.decoder(z)
+
+    def encode(self, x):
+        return self.encoder(x)
+
+    def decode(self, z):
+        return self.decoder(z)
+
+    def encoder_state(self, batch: int):
+        return self.encoder.init_state(batch)
+
+    def decoder_state(self, batch: int):
+        return self.decoder.init_state(batch)
+
+    def encode_step(self, x, state):
+        return self.encoder.step(x, state)
+
+    def decode_step(self, z, state):
+        return self.decoder.step(z, state)

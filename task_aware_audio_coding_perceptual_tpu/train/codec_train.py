@@ -1,0 +1,138 @@
+"""Codec training step: generator losses + RVQ EMA updates, data-parallel.
+
+One jitted step; under a mesh, batch is sharded over ``dp`` and XLA inserts
+the gradient all-reduce (the TPU-native form of the reference's DDP,
+``sgmse/train.py:102-107``). The adversarial (MS-STFT discriminator) terms
+are added by ``train/gan_train.py`` (BASELINE config 5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from task_aware_audio_coding_perceptual_tpu import losses
+from task_aware_audio_coding_perceptual_tpu.models import rvq as rvq_lib
+from task_aware_audio_coding_perceptual_tpu.models.codec import (
+    CodecConfig,
+    NeuralAudioCodec,
+)
+
+
+@flax.struct.dataclass
+class CodecTrainState:
+    params: dict
+    opt_state: optax.OptState
+    rvq: rvq_lib.RvqState
+    step: jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class CodecLossWeights:
+    l1: float = 0.1
+    l2: float = 1.0
+    mrstft: float = 1.0
+    mel: float = 1.0
+    commitment: float = 0.25
+
+
+def create_train_state(
+    config: CodecConfig,
+    key: jax.Array,
+    learning_rate: float = 3e-4,
+) -> tuple[NeuralAudioCodec, CodecTrainState, optax.GradientTransformation]:
+    model = NeuralAudioCodec(config)
+    k1, k2 = jax.random.split(key)
+    params = model.init(k1, jnp.zeros((1, config.hop * 2, 1)))
+    rvq_state = rvq_lib.init_rvq(
+        k2, config.num_quantizers, config.codebook_size, config.latent_dim
+    )
+    tx = optax.adam(learning_rate)
+    state = CodecTrainState(
+        params=params,
+        opt_state=tx.init(params),
+        rvq=rvq_state,
+        step=jnp.zeros((), jnp.int32),
+    )
+    return model, state, tx
+
+
+def codec_loss(
+    model: NeuralAudioCodec,
+    params,
+    rvq_state: rvq_lib.RvqState,
+    wav: jax.Array,
+    weights: CodecLossWeights = CodecLossWeights(),
+    sample_rate: int = 16000,
+    use_pallas: bool = True,
+):
+    """wav: (B, T, 1). Returns (scalar loss, aux dict incl. codes)."""
+    z = model.apply(params, wav, method=NeuralAudioCodec.encode)
+    q = rvq_lib.quantize(rvq_state, z, use_pallas=use_pallas)
+    y = model.apply(params, q.quantized, method=NeuralAudioCodec.decode)
+
+    w = wav[..., 0]
+    w_hat = y[..., 0]
+    l1 = losses.l1_time_loss(w, w_hat)
+    l2 = losses.l2_time_loss(w, w_hat)
+    mrstft = losses.multi_resolution_stft_loss(w, w_hat)
+    mel = losses.multi_resolution_mel_loss(w, w_hat, sample_rate=sample_rate)
+    loss = (
+        weights.l1 * l1
+        + weights.l2 * l2
+        + weights.mrstft * mrstft
+        + weights.mel * mel
+        + weights.commitment * q.commitment_loss
+    )
+    aux = {
+        "loss": loss,
+        "l1": l1,
+        "l2": l2,
+        "mrstft": mrstft,
+        "mel": mel,
+        "commitment": q.commitment_loss,
+        "codes": q.codes,
+        "latents": z,
+        "recon": y,
+    }
+    return loss, aux
+
+
+def make_train_step(
+    model: NeuralAudioCodec,
+    tx: optax.GradientTransformation,
+    weights: CodecLossWeights = CodecLossWeights(),
+    sample_rate: int = 16000,
+    ema_decay: float = 0.99,
+    use_pallas: bool = True,
+):
+    """Build the jitted train step: grads -> adam -> RVQ EMA codebook update."""
+
+    def train_step(state: CodecTrainState, wav: jax.Array):
+        def loss_fn(params):
+            return codec_loss(
+                model, params, state.rvq, wav, weights, sample_rate, use_pallas
+            )
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_rvq = rvq_lib.ema_update(state.rvq, aux["latents"], aux["codes"], decay=ema_decay)
+        metrics = {k: aux[k] for k in ("loss", "l1", "l2", "mrstft", "mel", "commitment")}
+        return (
+            CodecTrainState(
+                params=new_params,
+                opt_state=new_opt,
+                rvq=new_rvq,
+                step=state.step + 1,
+            ),
+            metrics,
+        )
+
+    return train_step

@@ -1,0 +1,147 @@
+"""Codec tests: shapes, RVQ determinism/parity, streaming==full equivalence."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from task_aware_audio_coding_perceptual_tpu.models import rvq as rvq_lib
+from task_aware_audio_coding_perceptual_tpu.models import streaming
+from task_aware_audio_coding_perceptual_tpu.models.codec import (
+    CodecConfig,
+    NeuralAudioCodec,
+)
+from task_aware_audio_coding_perceptual_tpu.ops import rvq_kernels
+
+
+SMALL = CodecConfig(
+    channels=8, latent_dim=16, strides=(2, 4), num_quantizers=4, codebook_size=64
+)
+
+
+@pytest.fixture(scope="module")
+def codec_and_params():
+    model = NeuralAudioCodec(SMALL)
+    x = jnp.zeros((1, SMALL.hop * 4, 1))
+    params = model.init(jax.random.key(0), x)
+    return model, params
+
+
+def test_shapes(codec_and_params):
+    model, params = codec_and_params
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, SMALL.hop * 10, 1)), jnp.float32)
+    z = model.apply(params, x, method=NeuralAudioCodec.encode)
+    assert z.shape == (2, 10, SMALL.latent_dim)
+    y = model.apply(params, z, method=NeuralAudioCodec.decode)
+    assert y.shape == x.shape
+
+
+def test_rvq_pallas_matches_ref(rng):
+    x = jnp.asarray(rng.standard_normal((100, 16)).astype(np.float32))
+    cb = jnp.asarray(rng.standard_normal((64, 16)).astype(np.float32))
+    i1, q1, _ = rvq_kernels.nearest_codebook_ref(x, cb)
+    i2, q2 = rvq_kernels.nearest_codebook_pallas(x, cb)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(q1), np.asarray(q2), rtol=1e-6)
+
+
+def test_rvq_tie_breaking():
+    # two identical codewords: must pick the lower index
+    cb = jnp.asarray(np.array([[1.0, 0.0], [1.0, 0.0], [0.0, 1.0]], np.float32))
+    x = jnp.asarray(np.array([[1.0, 0.0]], np.float32))
+    i_ref, _, _ = rvq_kernels.nearest_codebook_ref(x, cb)
+    i_pal, _ = rvq_kernels.nearest_codebook_pallas(x, cb)
+    assert int(i_ref[0]) == 0 and int(i_pal[0]) == 0
+
+
+def test_rvq_quantize_roundtrip(rng):
+    state = rvq_lib.init_rvq(jax.random.key(1), 4, 64, 16)
+    x = jnp.asarray(rng.standard_normal((3, 7, 16)).astype(np.float32))
+    out = rvq_lib.quantize(state, x, use_pallas=False)
+    assert out.codes.shape == (4, 3, 7)
+    assert out.quantized.shape == x.shape
+    # dequantize(codes) must equal the quantized values (minus straight-through x)
+    deq = rvq_lib.dequantize(state, out.codes)
+    resid_q = np.asarray(out.quantized - x + jax.lax.stop_gradient(x))  # = sg(q)
+    np.testing.assert_allclose(np.asarray(deq), resid_q, rtol=1e-4, atol=1e-5)
+    # fewer active levels -> codes prefix identical
+    out2 = rvq_lib.quantize(state, x, num_active=2, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(out2.codes), np.asarray(out.codes[:2]))
+
+
+def test_rvq_straight_through_grads(rng):
+    state = rvq_lib.init_rvq(jax.random.key(1), 2, 32, 8)
+    x = jnp.asarray(rng.standard_normal((4, 8)).astype(np.float32))
+
+    def loss(x):
+        out = rvq_lib.quantize(state, x, use_pallas=False)
+        return jnp.sum(out.quantized**2)
+
+    g = jax.grad(loss)(x)
+    # straight-through: dL/dx = 2*quantized (as if identity)
+    q = rvq_lib.quantize(state, x, use_pallas=False).quantized
+    np.testing.assert_allclose(np.asarray(g), 2 * np.asarray(q), rtol=1e-5)
+
+
+def test_rvq_ema_update_moves_codebook(rng):
+    state = rvq_lib.init_rvq(jax.random.key(1), 2, 16, 8)
+    x = jnp.asarray(rng.standard_normal((64, 8)).astype(np.float32))
+    out = rvq_lib.quantize(state, x, use_pallas=False)
+    new_state = rvq_lib.ema_update(state, x, out.codes, decay=0.5)
+    assert not np.allclose(np.asarray(new_state.codebooks), np.asarray(state.codebooks))
+    # EMA counts grew toward usage
+    assert float(jnp.sum(new_state.ema_count)) > 0
+
+
+def test_streaming_encoder_matches_full(codec_and_params):
+    model, params = codec_and_params
+    rng = np.random.default_rng(3)
+    T = SMALL.hop * 8
+    x = jnp.asarray(rng.standard_normal((2, T, 1)).astype(np.float32))
+    full = model.apply(params, x, method=NeuralAudioCodec.encode)
+    chunked = streaming.streaming_encode(model, params, x, chunk=SMALL.hop * 2)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(full), rtol=1e-4, atol=1e-5)
+
+
+def test_streaming_decoder_matches_full(codec_and_params):
+    model, params = codec_and_params
+    rng = np.random.default_rng(4)
+    z = jnp.asarray(rng.standard_normal((1, 8, SMALL.latent_dim)).astype(np.float32))
+    full = model.apply(params, z, method=NeuralAudioCodec.decode)
+    chunked = streaming.streaming_decode(model, params, z, frames_per_chunk=2)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(full), rtol=1e-4, atol=1e-5)
+
+
+def test_streaming_roundtrip_matches_offline(codec_and_params):
+    model, params = codec_and_params
+    rng = np.random.default_rng(5)
+    T = SMALL.hop * 8
+    x = jnp.asarray(rng.standard_normal((1, T, 1)).astype(np.float32))
+    state = rvq_lib.init_rvq(jax.random.key(2), SMALL.num_quantizers, SMALL.codebook_size, SMALL.latent_dim)
+
+    # offline: full encode -> quantize -> full decode
+    z = model.apply(params, x, method=NeuralAudioCodec.encode)
+    q = rvq_lib.quantize(state, z, use_pallas=False)
+    y_off = model.apply(params, q.quantized, method=NeuralAudioCodec.decode)
+
+    y_str, codes = streaming.streaming_roundtrip(
+        model, params, state, x, chunk=SMALL.hop * 2, use_pallas=False
+    )
+    np.testing.assert_array_equal(np.asarray(codes), np.asarray(q.codes))
+    np.testing.assert_allclose(np.asarray(y_str), np.asarray(y_off), rtol=1e-4, atol=1e-5)
+
+
+def test_causality(codec_and_params):
+    """Changing future samples must not change past encoder output."""
+    model, params = codec_and_params
+    rng = np.random.default_rng(6)
+    T = SMALL.hop * 8
+    x1 = rng.standard_normal((1, T, 1)).astype(np.float32)
+    x2 = x1.copy()
+    x2[:, T // 2 :, :] += 10.0  # perturb the future
+    z1 = np.asarray(model.apply(params, jnp.asarray(x1), method=NeuralAudioCodec.encode))
+    z2 = np.asarray(model.apply(params, jnp.asarray(x2), method=NeuralAudioCodec.encode))
+    f_half = (T // 2) // SMALL.hop
+    np.testing.assert_allclose(z1[:, :f_half], z2[:, :f_half], atol=1e-6)
+    assert np.abs(z1[:, f_half:] - z2[:, f_half:]).max() > 1e-3
