@@ -71,6 +71,11 @@ def frame_signal(x: jax.Array, frame_length: int, hop_length: int) -> jax.Array:
     """
     length = x.shape[-1]
     n_frames = 1 + (length - frame_length) // hop_length
+    if n_frames < 1:
+        raise ValueError(
+            f"Signal of length {length} too short for frame_length={frame_length} "
+            "(with center=False at least one full frame is required)"
+        )
     idx = (
         np.arange(n_frames)[:, None] * hop_length + np.arange(frame_length)[None, :]
     )

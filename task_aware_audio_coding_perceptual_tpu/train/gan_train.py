@@ -1,0 +1,168 @@
+"""Full perceptual training step: codec generator + MS-STFT discriminator.
+
+BASELINE config 5: generator (reconstruction + multi-res STFT/mel +
+commitment + adversarial + feature matching) and discriminator (hinge)
+updates in one jitted program, data-parallel over the mesh.
+"""
+
+from __future__ import annotations
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from task_aware_audio_coding_perceptual_tpu import losses
+from task_aware_audio_coding_perceptual_tpu.losses import adversarial
+from task_aware_audio_coding_perceptual_tpu.models import rvq as rvq_lib
+from task_aware_audio_coding_perceptual_tpu.models.codec import (
+    CodecConfig,
+    NeuralAudioCodec,
+)
+from task_aware_audio_coding_perceptual_tpu.models.msstftd import (
+    MultiScaleSTFTDiscriminator,
+)
+from task_aware_audio_coding_perceptual_tpu.train.codec_train import CodecLossWeights
+
+
+@flax.struct.dataclass
+class GanTrainState:
+    gen_params: dict
+    gen_opt: optax.OptState
+    disc_params: dict
+    disc_opt: optax.OptState
+    rvq: rvq_lib.RvqState
+    step: jax.Array
+
+
+@flax.struct.dataclass
+class GanLossWeights:
+    adv: float = 3.0
+    feat: float = 3.0
+
+
+def create_gan_state(
+    config: CodecConfig,
+    key: jax.Array,
+    disc_filters: int = 8,
+    gen_lr: float = 3e-4,
+    disc_lr: float = 3e-4,
+):
+    model = NeuralAudioCodec(config)
+    disc = MultiScaleSTFTDiscriminator(filters=disc_filters)
+    k1, k2, k3 = jax.random.split(key, 3)
+    gen_params = model.init(k1, jnp.zeros((1, config.hop * 2, 1)))
+    disc_params = disc.init(k2, jnp.zeros((1, 1, 4096)))
+    rvq_state = rvq_lib.init_rvq(
+        k3, config.num_quantizers, config.codebook_size, config.latent_dim
+    )
+    gen_tx = optax.adam(gen_lr, b1=0.5, b2=0.9)
+    disc_tx = optax.adam(disc_lr, b1=0.5, b2=0.9)
+    state = GanTrainState(
+        gen_params=gen_params,
+        gen_opt=gen_tx.init(gen_params),
+        disc_params=disc_params,
+        disc_opt=disc_tx.init(disc_params),
+        rvq=rvq_state,
+        step=jnp.zeros((), jnp.int32),
+    )
+    return model, disc, state, gen_tx, disc_tx
+
+
+def make_gan_train_step(
+    model: NeuralAudioCodec,
+    disc: MultiScaleSTFTDiscriminator,
+    gen_tx: optax.GradientTransformation,
+    disc_tx: optax.GradientTransformation,
+    weights: CodecLossWeights = CodecLossWeights(),
+    gan_weights: GanLossWeights = GanLossWeights(),
+    sample_rate: int = 16000,
+    ema_decay: float = 0.99,
+    use_pallas: bool = True,
+):
+    def gan_train_step(state: GanTrainState, wav: jax.Array):
+        """wav: (B, T, 1)."""
+        wav_bct = jnp.transpose(wav, (0, 2, 1))  # (B, 1, T) for the disc
+
+        def gen_loss_fn(gen_params):
+            z = model.apply(gen_params, wav, method=NeuralAudioCodec.encode)
+            q = rvq_lib.quantize(state.rvq, z, use_pallas=use_pallas)
+            y = model.apply(gen_params, q.quantized, method=NeuralAudioCodec.decode)
+            y_bct = jnp.transpose(y, (0, 2, 1))
+
+            w, w_hat = wav[..., 0], y[..., 0]
+            l1 = losses.l1_time_loss(w, w_hat)
+            l2 = losses.l2_time_loss(w, w_hat)
+            mrstft = losses.multi_resolution_stft_loss(w, w_hat)
+            mel = losses.multi_resolution_mel_loss(w, w_hat, sample_rate=sample_rate)
+
+            logits_fake, fmaps_fake = disc.apply(state.disc_params, y_bct)
+            _, fmaps_real = disc.apply(state.disc_params, wav_bct)
+            adv = adversarial.generator_hinge_loss(logits_fake)
+            feat = adversarial.feature_matching_loss(fmaps_fake, fmaps_real)
+
+            loss = (
+                weights.l1 * l1
+                + weights.l2 * l2
+                + weights.mrstft * mrstft
+                + weights.mel * mel
+                + weights.commitment * q.commitment_loss
+                + gan_weights.adv * adv
+                + gan_weights.feat * feat
+            )
+            aux = {
+                "gen_loss": loss,
+                "l1": l1,
+                "mrstft": mrstft,
+                "mel": mel,
+                "adv": adv,
+                "feat": feat,
+                "commitment": q.commitment_loss,
+                "recon": y_bct,
+                "latents": z,
+                "codes": q.codes,
+            }
+            return loss, aux
+
+        (gen_loss, aux), gen_grads = jax.value_and_grad(gen_loss_fn, has_aux=True)(
+            state.gen_params
+        )
+        gen_updates, new_gen_opt = gen_tx.update(gen_grads, state.gen_opt, state.gen_params)
+        new_gen_params = optax.apply_updates(state.gen_params, gen_updates)
+
+        recon = jax.lax.stop_gradient(aux["recon"])
+
+        def disc_loss_fn(disc_params):
+            logits_real, _ = disc.apply(disc_params, wav_bct)
+            logits_fake, _ = disc.apply(disc_params, recon)
+            return adversarial.discriminator_hinge_loss(logits_real, logits_fake)
+
+        disc_loss, disc_grads = jax.value_and_grad(disc_loss_fn)(state.disc_params)
+        disc_updates, new_disc_opt = disc_tx.update(
+            disc_grads, state.disc_opt, state.disc_params
+        )
+        new_disc_params = optax.apply_updates(state.disc_params, disc_updates)
+
+        new_rvq = rvq_lib.ema_update(state.rvq, aux["latents"], aux["codes"], decay=ema_decay)
+        metrics = {
+            "gen_loss": gen_loss,
+            "disc_loss": disc_loss,
+            "l1": aux["l1"],
+            "mrstft": aux["mrstft"],
+            "mel": aux["mel"],
+            "adv": aux["adv"],
+            "feat": aux["feat"],
+        }
+        return (
+            GanTrainState(
+                gen_params=new_gen_params,
+                gen_opt=new_gen_opt,
+                disc_params=new_disc_params,
+                disc_opt=new_disc_opt,
+                rvq=new_rvq,
+                step=state.step + 1,
+            ),
+            metrics,
+        )
+
+    return gan_train_step
