@@ -90,6 +90,7 @@ def spec_back(
     return spec.astype(jnp.complex64)
 
 
+@functools.partial(jax.jit, static_argnames=("mode", "multiple"))
 def pad_spec(Y: jax.Array, mode: str = "zero_pad", multiple: int = 64) -> jax.Array:
     """Pad the last (frame) axis of (..., F, T) to a multiple of ``multiple``.
 

@@ -1,0 +1,373 @@
+"""ScoreModel: diffusion speech-enhancement training/inference wrapper.
+
+Functional JAX re-design of the reference's PyTorch-Lightning ``ScoreModel``
+(``sgmse/sgmse/model.py``): ties a backbone + SDE + spectrogram transforms,
+with
+
+- the three training objectives score_matching / denoiser / data_prediction
+  incl. EDM c_in/c_out/c_skip scalings (``model.py:127-187, 312-341``),
+- parameter EMA with train/eval swap semantics (``model.py:94-125``) —
+  here an explicit ``ema_params`` pytree in the train state; evaluation
+  simply uses ``state.ema_params``,
+- the one-call ``enhance()`` API (``model.py:426-465``): normalize -> STFT
+  -> spec_fwd -> pad to T%64==0 -> sampler (PC/ODE for OUVE, SB for SBVE)
+  -> ISTFT -> renormalize, with optional RTF timing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from task_aware_audio_coding_perceptual_tpu import dsp
+from task_aware_audio_coding_perceptual_tpu.models.sgmse import sampling
+from task_aware_audio_coding_perceptual_tpu.models.sgmse.sdes import (
+    SDERegistry,
+    _bcast,
+)
+from task_aware_audio_coding_perceptual_tpu.models.sgmse.shared import BackboneRegistry
+
+
+@dataclasses.dataclass(frozen=True)
+class SpecTransforms:
+    """STFT + magnitude-compression config
+    (reference ``data_module.py:104-218``)."""
+
+    n_fft: int = 510
+    hop_length: int = 128
+    window: str = "hann"
+    spec_factor: float = 0.15
+    spec_abs_exponent: float = 0.5
+    transform_type: str = "exponent"
+    num_frames: int = 256
+
+    def _win(self):
+        return dsp.get_window(self.window, self.n_fft)
+
+    def stft(self, sig):
+        return dsp.stft(sig, self.n_fft, self.hop_length, window=self._win())
+
+    def istft(self, spec, length=None):
+        return dsp.istft(spec, self.n_fft, self.hop_length, window=self._win(), length=length)
+
+    def spec_fwd(self, spec):
+        return dsp.spec_fwd(
+            spec, self.spec_abs_exponent, self.spec_factor, self.transform_type
+        )
+
+    def spec_back(self, spec):
+        return dsp.spec_back(
+            spec, self.spec_abs_exponent, self.spec_factor, self.transform_type
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class ScoreModelConfig:
+    backbone: str = "ncsnpp"
+    sde: str = "ouve"
+    lr: float = 1e-4
+    ema_decay: float = 0.999
+    t_eps: float = 0.03
+    loss_type: str = "score_matching"  # | denoiser | data_prediction
+    loss_weighting: str = "sigma^2"  # | 1 | edm
+    network_scaling: Optional[str] = None  # | 1/sigma | 1/t
+    c_in: str = "1"  # | edm
+    c_out: str = "1"  # | sigma | 1/sigma | edm
+    c_skip: str = "0"  # | edm
+    sigma_data: float = 0.1
+    l1_weight: float = 0.001
+    pesq_weight: float = 0.0
+    sr: int = 16000
+    num_eval_files: int = 20
+    backbone_kwargs: tuple = ()  # tuple of (key, value) pairs
+    sde_kwargs: tuple = ()
+
+
+@flax.struct.dataclass
+class ScoreModelState:
+    params: dict
+    ema_params: dict
+    opt_state: optax.OptState
+    step: jax.Array
+
+
+def complex_to_real_pair(x: jax.Array) -> jax.Array:
+    """(..., ) complex -> (..., 2) real. Use at jit boundaries: the axon TPU
+    relay cannot transfer complex arrays host<->device, so batches cross the
+    boundary as real pairs and become complex inside the compiled step."""
+    return jnp.stack([x.real, x.imag], axis=-1)
+
+
+def real_pair_to_complex(x: jax.Array) -> jax.Array:
+    return (x[..., 0] + 1j * x[..., 1]).astype(jnp.complex64)
+
+
+def _ensure_complex(x: jax.Array) -> jax.Array:
+    if not jnp.iscomplexobj(x) and x.shape[-1] == 2:
+        return real_pair_to_complex(x)
+    return x
+
+
+class ScoreModel:
+    """Bundles backbone module + SDE + transforms with pure train/infer fns."""
+
+    def __init__(self, config: ScoreModelConfig, transforms: SpecTransforms = SpecTransforms()):
+        self.config = config
+        self.transforms = transforms
+        dnn_cls = BackboneRegistry.get_by_name(config.backbone)
+        self.dnn = dnn_cls(**dict(config.backbone_kwargs))
+        sde_cls = SDERegistry.get_by_name(config.sde)
+        self.sde = sde_cls(**dict(config.sde_kwargs))
+        self.tx = optax.adam(config.lr)
+
+    # --- initialization -------------------------------------------------
+
+    def init(self, key, spec_shape=(1, 1, 256, 256)) -> ScoreModelState:
+        """spec_shape: complex (B, 1, F, T)."""
+        x = jnp.zeros(spec_shape, jnp.complex64)
+        t = jnp.ones((spec_shape[0],)) * 0.5
+        # init under jit: the axon TPU backend cannot eager-execute complex ops
+        if self.config.backbone == "ncsnpp_v2":
+            params = jax.jit(self.dnn.init)(key, x, x, t)
+        else:
+            params = jax.jit(self.dnn.init)(key, jnp.concatenate([x, x], axis=1), t)
+        return ScoreModelState(
+            params=params,
+            ema_params=params,
+            opt_state=self.tx.init(params),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    # --- scalings (reference model.py:312-341) --------------------------
+
+    def _c_in(self, t):
+        if self.config.c_in == "1":
+            return 1.0
+        elif self.config.c_in == "edm":
+            sigma = self.sde._std(t)
+            return (1.0 / jnp.sqrt(sigma**2 + self.config.sigma_data**2))[:, None, None, None]
+        raise ValueError(f"Invalid c_in type: {self.config.c_in}")
+
+    def _c_out(self, t):
+        cfg = self.config
+        if cfg.c_out == "1":
+            return 1.0
+        elif cfg.c_out == "sigma":
+            return self.sde._std(t)[:, None, None, None]
+        elif cfg.c_out == "1/sigma":
+            return 1.0 / self.sde._std(t)[:, None, None, None]
+        elif cfg.c_out == "edm":
+            sigma = self.sde._std(t)
+            return ((sigma * cfg.sigma_data) / jnp.sqrt(cfg.sigma_data**2 + sigma**2))[
+                :, None, None, None
+            ]
+        raise ValueError(f"Invalid c_out type: {cfg.c_out}")
+
+    def _c_skip(self, t):
+        cfg = self.config
+        if cfg.c_skip == "0":
+            return 0.0
+        elif cfg.c_skip == "edm":
+            sigma = self.sde._std(t)
+            return (cfg.sigma_data**2 / (sigma**2 + cfg.sigma_data**2))[:, None, None, None]
+        raise ValueError(f"Invalid c_skip type: {cfg.c_skip}")
+
+    # --- forward (reference model.py:264-310) ---------------------------
+
+    def forward(self, params, x_t, y, t, train: bool = False, rngs=None):
+        cfg = self.config
+        if cfg.backbone == "ncsnpp_v2":
+            F = self.dnn.apply(
+                params, self._c_in(t) * x_t, self._c_in(t) * y, t, train, rngs=rngs
+            )
+            if cfg.network_scaling == "1/sigma":
+                F = F / self.sde._std(t)[:, None, None, None]
+            elif cfg.network_scaling == "1/t":
+                F = F / t[:, None, None, None]
+            if cfg.loss_type == "score_matching":
+                return self._c_skip(t) * x_t + self._c_out(t) * F
+            elif cfg.loss_type == "denoiser":
+                sigmas = self.sde._std(t)[:, None, None, None]
+                return (F - x_t) / sigmas**2
+            elif cfg.loss_type == "data_prediction":
+                return self._c_skip(t) * x_t + self._c_out(t) * F
+            raise ValueError(cfg.loss_type)
+        else:
+            dnn_input = jnp.concatenate([x_t, y], axis=1)
+            return -self.dnn.apply(params, dnn_input, t, train, rngs=rngs)
+
+    def score_fn(self, params):
+        return lambda x, y, t: self.forward(params, x, y, t)
+
+    # --- loss (reference model.py:127-198) ------------------------------
+
+    def _loss(self, forward_out, x_t, z, t, mean, x):
+        cfg = self.config
+        sigma = self.sde._std(t)[:, None, None, None]
+        if cfg.loss_type == "score_matching":
+            score = forward_out
+            if cfg.loss_weighting != "sigma^2":
+                raise ValueError(
+                    f"Invalid loss weighting for score_matching: {cfg.loss_weighting}"
+                )
+            losses = jnp.square(jnp.abs(score * sigma + z))
+            return jnp.mean(0.5 * jnp.sum(losses.reshape(losses.shape[0], -1), axis=-1))
+        elif cfg.loss_type == "denoiser":
+            score = forward_out
+            D = score * sigma**2 + x_t
+            losses = jnp.square(jnp.abs(D - mean))
+            if cfg.loss_weighting == "1":
+                pass
+            elif cfg.loss_weighting == "sigma^2":
+                losses = losses * sigma**2
+            elif cfg.loss_weighting == "edm":
+                losses = (
+                    (sigma**2 + cfg.sigma_data**2) / ((sigma * cfg.sigma_data) ** 2)
+                ) * losses
+            else:
+                raise ValueError(
+                    f"Invalid loss weighting for denoiser: {cfg.loss_weighting}"
+                )
+            return jnp.mean(0.5 * jnp.sum(losses.reshape(losses.shape[0], -1), axis=-1))
+        elif cfg.loss_type == "data_prediction":
+            x_hat = forward_out
+            B, C, Fq, T = x.shape
+            losses_tf = (1 / (Fq * T)) * jnp.square(jnp.abs(x_hat - x))
+            loss_tf = jnp.mean(0.5 * jnp.sum(losses_tf.reshape(B, -1), axis=-1))
+            target_len = (self.transforms.num_frames - 1) * self.transforms.hop_length
+            x_hat_td = self.to_audio(x_hat[:, 0], target_len)
+            x_td = self.to_audio(x[:, 0], target_len)
+            losses_l1 = (1 / target_len) * jnp.abs(x_hat_td - x_td)
+            loss_l1 = jnp.mean(0.5 * jnp.sum(losses_l1.reshape(B, -1), axis=-1))
+            return loss_tf + cfg.l1_weight * loss_l1
+        raise ValueError(f"Invalid loss type: {cfg.loss_type}")
+
+    def step_loss(self, params, key, x, y, train: bool = True, rngs=None):
+        """One _step (reference model.py:189-198): x, y complex (B,1,F,T),
+        or real (B,1,F,T,2) pairs (TPU-boundary form)."""
+        x = _ensure_complex(x)
+        y = _ensure_complex(y)
+        cfg = self.config
+        kt, kz = jax.random.split(key)
+        t = (
+            jax.random.uniform(kt, (x.shape[0],)) * (self.sde.T - cfg.t_eps)
+            + cfg.t_eps
+        )
+        mean, std = self.sde.marginal_prob(x, y, t)
+        z = sampling._randn_like(kz, x)
+        sigma = _bcast(std, x)
+        x_t = mean + sigma * z
+        forward_out = self.forward(params, x_t, y, t, train=train, rngs=rngs)
+        return self._loss(forward_out, x_t, z, t, mean, x)
+
+    # --- train step ------------------------------------------------------
+
+    def make_train_step(self):
+        def train_step(state: ScoreModelState, key, x, y):
+            def loss_fn(params):
+                return self.step_loss(params, key, x, y, train=True)
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            d = self.config.ema_decay
+            new_ema = jax.tree.map(
+                lambda e, p: d * e + (1 - d) * p, state.ema_params, new_params
+            )
+            return (
+                ScoreModelState(
+                    params=new_params,
+                    ema_params=new_ema,
+                    opt_state=new_opt,
+                    step=state.step + 1,
+                ),
+                {"train_loss": loss},
+            )
+
+        return train_step
+
+    # --- audio round trips (reference model.py:411-424) -------------------
+
+    def to_audio(self, spec, length=None):
+        return self.transforms.istft(self.transforms.spec_back(spec), length)
+
+    # --- enhancement (reference model.py:426-465) -------------------------
+
+    def get_pc_sampler(self, params, y, N=None, **kwargs):
+        sde = self.sde.copy(N=N) if N is not None else self.sde
+        kwargs = {"eps": self.config.t_eps, **kwargs}
+        return sampling.get_pc_sampler(
+            kwargs.pop("predictor", "reverse_diffusion"),
+            kwargs.pop("corrector", "ald"),
+            sde=sde,
+            score_fn=self.score_fn(params),
+            y=y,
+            **kwargs,
+        )
+
+    def get_ode_sampler(self, params, y, N=None, **kwargs):
+        sde = self.sde.copy(N=N) if N is not None else self.sde
+        kwargs = {"eps": self.config.t_eps, **kwargs}
+        return sampling.get_ode_sampler(sde, self.score_fn(params), y=y, **kwargs)
+
+    def get_sb_sampler(self, params, y, sampler_type="ode", **kwargs):
+        model_fn = lambda x, yy, t: self.forward(params, x, yy, t)
+        return sampling.get_sb_sampler(self.sde, model_fn, y, sampler_type=sampler_type, **kwargs)
+
+    def enhance(
+        self,
+        params,
+        y: jax.Array,
+        key: Optional[jax.Array] = None,
+        sampler_type: str = "pc",
+        predictor: str = "reverse_diffusion",
+        corrector: str = "ald",
+        N: int = 30,
+        corrector_steps: int = 1,
+        snr: float = 0.5,
+        timeit: bool = False,
+        **kwargs,
+    ):
+        """One-call speech enhancement of noisy waveform ``y`` (C=1, T) or (T,)."""
+        key = key if key is not None else jax.random.key(0)
+        start = time.time()
+        if y.ndim == 1:
+            y = y[None, :]
+        T_orig = y.shape[-1]
+        norm_factor = jnp.max(jnp.abs(y))
+        y = y / norm_factor
+        Y = self.transforms.spec_fwd(self.transforms.stft(y))[None]  # (1, 1, F, T)
+        Y = dsp.pad_spec(Y)
+
+        sde_name = type(self.sde).__name__
+        if sde_name == "OUVESDE":
+            if self.sde.sampler_type == "pc":
+                sampler = self.get_pc_sampler(
+                    params, Y, N=N, predictor=predictor, corrector=corrector,
+                    corrector_steps=corrector_steps, snr=snr, **kwargs,
+                )
+            elif self.sde.sampler_type == "ode":
+                sampler = self.get_ode_sampler(params, Y, N=N, **kwargs)
+            else:
+                raise ValueError(f"Invalid sampler type {self.sde.sampler_type}")
+        elif sde_name == "SBVESDE":
+            sampler = self.get_sb_sampler(params, Y, sampler_type=self.sde.sampler_type)
+        else:
+            raise ValueError(f"Invalid SDE type for speech enhancement: {sde_name}")
+
+        sample, nfe = jax.jit(sampler)(key)
+        x_hat = self.to_audio(sample[:, 0], T_orig)
+        x_hat = (x_hat * norm_factor)[0]
+        x_hat = np.asarray(x_hat)
+        end = time.time()
+        if timeit:
+            rtf = (end - start) / (len(x_hat) / self.config.sr)
+            return x_hat, nfe, rtf
+        return x_hat

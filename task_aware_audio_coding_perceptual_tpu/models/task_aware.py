@@ -1,0 +1,192 @@
+"""Task-aware losses: score decoded audio through frozen downstream heads.
+
+Re-design of the reference's two ``task_aware()`` variants:
+
+- v1 (ASR head, ``train_pkl_file_task_aware.py:270-367``): decoded
+  spectrogram -> ISTFT -> frozen Wav2Vec2-CTC -> argmax logits treated as
+  "enhanced audio" -> length-matched by linear interpolation -> MSE vs the
+  clean waveform, plus MS-STFT feature-matching + LSGAN terms.
+- v2 (enhancement head, ``train_pkl_file_task_aware_update.py:226-312``):
+  the frozen task model is a diffusion enhancer (our ScoreModel.enhance
+  equivalent) instead of the ASR head.
+
+Two fidelity modes:
+
+- ``detached=True`` reproduces the reference exactly: the task terms are
+  ``stop_gradient``-ed scalars (the reference returns ``.item()`` floats at
+  ``:339,367`` — no gradient ever flows; SURVEY §2 documents this bug).
+- ``detached=False`` (default) lets gradients flow through the task head
+  into the codec/autoencoder — the intended behavior (SURVEY §7.9).
+
+The ASR head: HF Flax Wav2Vec2 cannot be downloaded in this offline
+environment, so the default is :class:`FrozenCTCProxy` — a deterministic,
+frozen conv feature extractor + CTC vocabulary projection with
+Wav2Vec2-like strides (receptive field 400 samples, hop 320). Pass
+``pretrained_name`` to use a real HF Flax checkpoint when available.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from task_aware_audio_coding_perceptual_tpu import dsp
+from task_aware_audio_coding_perceptual_tpu.losses import adversarial
+
+
+def batch_reconstruct_waveform(
+    magnitude: jax.Array,
+    phase: jax.Array,
+    n_fft: int = 2048,
+    hop_length: int = 512,
+    win_length: int = 2048,
+) -> jax.Array:
+    """ISTFT of mag*e^{i phase} for a batch (reference
+    ``train_pkl_file_task_aware.py:174-208``; the reference loops per item —
+    here one batched ISTFT)."""
+    spec = dsp.polar_to_complex(magnitude, phase)
+    win = dsp.hann_window(win_length)
+    return dsp.istft(spec, n_fft, hop_length, window=win, win_length=win_length)
+
+
+class FrozenCTCProxy(nn.Module):
+    """Frozen Wav2Vec2-like CTC head: strided conv feature extractor
+    (total stride 320, like Wav2Vec2's 20 ms frames at 16 kHz) + vocab
+    projection. Parameters are deterministic (seeded) and never trained."""
+
+    vocab_size: int = 32
+    hidden: int = 128
+
+    @nn.compact
+    def __call__(self, wav: jax.Array) -> jax.Array:
+        """wav (B, T) -> logits (B, frames, vocab)."""
+        x = wav[..., None]  # (B, T, 1)
+        for features, k, s in (
+            (self.hidden, 10, 5), (self.hidden, 3, 2), (self.hidden, 3, 2),
+            (self.hidden, 3, 2), (self.hidden, 3, 2), (self.hidden, 2, 2),
+            (self.hidden, 2, 2),
+        ):
+            x = nn.gelu(nn.Conv(features, (k,), strides=(s,), padding="VALID")(x))
+        x = nn.LayerNorm()(x)
+        return nn.Dense(self.vocab_size)(x)
+
+
+def make_asr_head(
+    pretrained_name: Optional[str] = None,
+    vocab_size: int = 32,
+    seed: int = 0,
+    example_len: int = 16000,
+) -> Tuple[Callable, object]:
+    """Return (apply_fn(wav_B_T) -> logits, params) for a frozen ASR head."""
+    if pretrained_name is not None:
+        try:  # pragma: no cover - requires network/weights
+            from transformers import FlaxWav2Vec2ForCTC
+
+            model = FlaxWav2Vec2ForCTC.from_pretrained(pretrained_name)
+            return (lambda wav: model(wav).logits), model.params
+        except Exception:
+            pass  # fall through to the proxy
+    proxy = FrozenCTCProxy(vocab_size=vocab_size)
+    params = jax.jit(proxy.init)(
+        jax.random.key(seed), jnp.zeros((1, example_len), jnp.float32)
+    )
+    params = jax.lax.stop_gradient(params)
+    return (lambda wav: proxy.apply(params, wav)), params
+
+
+def _linear_interp_to(x: jax.Array, size: int) -> jax.Array:
+    """F.interpolate(mode='linear', align_corners=False) equivalent on the
+    last axis (reference ``train_pkl_file_task_aware.py:316-321``)."""
+    return jax.image.resize(x, x.shape[:-1] + (size,), method="linear")
+
+
+@dataclasses.dataclass
+class TaskAwareASRLoss:
+    """v1 task-aware loss (reference ``train_pkl_file_task_aware.py:270-367``).
+
+    Args:
+        asr_apply: frozen head wav (B, T) -> logits (B, frames, vocab).
+        disc: MS-STFT discriminator module.
+        disc_params: its (frozen, from the loss's perspective) params.
+        detached: reference-parity mode (scalars, no grads).
+    """
+
+    asr_apply: Callable
+    disc: object
+    disc_params: object
+    sample_rate: int = 8000
+    detached: bool = True
+
+    def __call__(self, decoded: jax.Array, clean: dict) -> Tuple[jax.Array, jax.Array]:
+        """decoded: (B, 2, F, T) stacked mag/phase; clean: {'magnitude','phase'}."""
+        clean_wav = batch_reconstruct_waveform(clean["magnitude"], clean["phase"])
+        noisy_wav = batch_reconstruct_waveform(decoded[:, 0], decoded[:, 1])
+
+        logits = self.asr_apply(noisy_wav)  # (B, frames, vocab)
+        if self.detached:
+            # reference: argmax token ids treated as a waveform (:302)
+            enhanced = jnp.argmax(logits, axis=-1).astype(jnp.float32)
+        else:
+            # differentiable variant: soft argmax (expected token id)
+            probs = jax.nn.softmax(logits, axis=-1)
+            ids = jnp.arange(logits.shape[-1], dtype=jnp.float32)
+            enhanced = jnp.einsum("bfv,v->bf", probs, ids)
+
+        e_len, c_len = enhanced.shape[-1], clean_wav.shape[-1]
+        if e_len < c_len:
+            enhanced = _linear_interp_to(enhanced, c_len)
+        elif c_len < e_len:
+            clean_wav = _linear_interp_to(clean_wav, e_len)
+
+        mse = jnp.mean((enhanced - clean_wav) ** 2)
+
+        disc_loss = _disc_terms(self.disc, self.disc_params, enhanced, clean_wav)
+        if self.detached:
+            mse = jax.lax.stop_gradient(mse)
+            disc_loss = jax.lax.stop_gradient(disc_loss)
+        return mse, disc_loss
+
+
+@dataclasses.dataclass
+class TaskAwareEnhancementLoss:
+    """v2 task-aware loss (reference
+    ``train_pkl_file_task_aware_update.py:226-312``): the frozen task model
+    is a diffusion enhancer ``enhance_fn(wav_B_T) -> wav_B_T``."""
+
+    enhance_fn: Callable
+    disc: object
+    disc_params: object
+    detached: bool = True
+
+    def __call__(self, decoded: jax.Array, clean: dict) -> Tuple[jax.Array, jax.Array]:
+        clean_wav = batch_reconstruct_waveform(clean["magnitude"], clean["phase"])
+        noisy_wav = batch_reconstruct_waveform(decoded[:, 0], decoded[:, 1])
+
+        enhanced = self.enhance_fn(noisy_wav)
+        e_len, c_len = enhanced.shape[-1], clean_wav.shape[-1]
+        if e_len < c_len:
+            enhanced = _linear_interp_to(enhanced, c_len)
+        elif c_len < e_len:
+            clean_wav = _linear_interp_to(clean_wav, e_len)
+
+        mse = jnp.mean((enhanced - clean_wav) ** 2)
+        disc_loss = _disc_terms(self.disc, self.disc_params, enhanced, clean_wav)
+        if self.detached:
+            mse = jax.lax.stop_gradient(mse)
+            disc_loss = jax.lax.stop_gradient(disc_loss)
+        return mse, disc_loss
+
+
+def _disc_terms(disc, disc_params, enhanced: jax.Array, clean_wav: jax.Array) -> jax.Array:
+    """Feature-matching L1 + the reference's combined LSGAN MSE terms
+    (``train_pkl_file_task_aware.py:343-364``)."""
+    y_enh, fmap_enh = disc.apply(disc_params, enhanced[:, None, :])
+    y_gt, fmap_gt = disc.apply(disc_params, clean_wav[:, None, :])
+    loss = adversarial.feature_matching_loss(fmap_enh, fmap_gt)
+    loss = loss + adversarial.lsgan_combined_loss(y_enh, y_gt)
+    return loss

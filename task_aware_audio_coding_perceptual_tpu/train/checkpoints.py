@@ -1,0 +1,86 @@
+"""Checkpoint / resume via Orbax.
+
+Covers the reference's two checkpointing styles (SURVEY §5):
+
+- outer project: periodic 'every N epochs' saves of
+  {step, params, optimizer state, loss} (``train_pkl_file_task_aware.py:693-702``),
+- SGMSE/Lightning: keep-last + periodic + top-k on a validation metric
+  (``sgmse/train.py:88-97``), with **EMA weights inside the checkpoint**
+  (``model.py:100-109``). Here EMA params are an explicit field of the train
+  state, so the eval-time swap is just reading ``state.ema_params``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+@dataclasses.dataclass
+class CheckpointManager:
+    """Thin wrapper over orbax CheckpointManager.
+
+    Args:
+        directory: checkpoint root.
+        max_to_keep: how many non-best checkpoints to retain.
+        best_metric: if set, keep the top-k checkpoints by this metric key
+            (mode 'max' for pesq/si_sdr-style metrics, 'min' for losses).
+    """
+
+    directory: str
+    max_to_keep: int = 3
+    best_metric: Optional[str] = None
+    best_mode: str = "max"
+
+    def __post_init__(self):
+        self.directory = os.path.abspath(self.directory)
+        os.makedirs(self.directory, exist_ok=True)
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=self.max_to_keep,
+            best_fn=(lambda m: m[self.best_metric]) if self.best_metric else None,
+            best_mode=self.best_mode,
+            create=True,
+        )
+        self._mgr = ocp.CheckpointManager(self.directory, options=options)
+
+    def save(self, step: int, state: Any, metrics: Optional[dict] = None) -> bool:
+        metrics = {k: float(v) for k, v in (metrics or {}).items()}
+        saved = self._mgr.save(
+            step, args=ocp.args.StandardSave(state), metrics=metrics or None
+        )
+        self._mgr.wait_until_finished()
+        return saved
+
+    def restore(self, state_template: Any, step: Optional[int] = None) -> Any:
+        step = step if step is not None else self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"No checkpoints in {self.directory}")
+        return self._mgr.restore(step, args=ocp.args.StandardRestore(state_template))
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def best_step(self) -> Optional[int]:
+        return self._mgr.best_step()
+
+    def all_steps(self):
+        return self._mgr.all_steps()
+
+    def close(self):
+        self._mgr.close()
+
+
+def save_single(path: str, state: Any) -> None:
+    """One-shot save (outer-project style 'model_epoch_N' checkpoint)."""
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), state, force=True)
+    ckptr.wait_until_finished()
+
+
+def restore_single(path: str, state_template: Any) -> Any:
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), state_template)

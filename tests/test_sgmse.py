@@ -1,0 +1,300 @@
+"""SGMSE stack tests: SDE formulas, reverse SDE, samplers (analytic-score
+recovery), NCSN++ backbones, ScoreModel train/enhance."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from task_aware_audio_coding_perceptual_tpu.models.sgmse import sampling
+from task_aware_audio_coding_perceptual_tpu.models.sgmse.ncsnpp import (
+    NCSNpp,
+    NCSNpp_48k,
+    NCSNpp_v2,
+)
+from task_aware_audio_coding_perceptual_tpu.models.sgmse.score_model import (
+    ScoreModel,
+    ScoreModelConfig,
+    SpecTransforms,
+)
+from task_aware_audio_coding_perceptual_tpu.models.sgmse.sdes import (
+    OUVESDE,
+    SBVESDE,
+    _bcast,
+)
+
+
+# ---------------------------------------------------------------------------
+# SDEs
+# ---------------------------------------------------------------------------
+
+
+def test_ouve_formulas():
+    sde = OUVESDE()
+    t = jnp.asarray([0.0, 0.25, 0.5, 1.0])
+    std = np.asarray(sde._std(t))
+    assert std[0] < 1e-4  # sigma(0) ~ 0
+    assert np.all(np.diff(std) > 0)  # variance exploding
+    # closed-form check of sigma(t) formula (reference sdes.py:206-219)
+    sm, th, ls = sde.sigma_min, sde.theta, np.log(sde.sigma_max / sde.sigma_min)
+    want = np.sqrt(
+        sm**2 * np.exp(-2 * th * 0.5) * (np.exp(2 * (th + ls) * 0.5) - 1) * ls / (th + ls)
+    )
+    assert abs(std[2] - want) < 1e-6
+
+    x0 = jnp.ones((4, 1, 8, 8), jnp.complex64)
+    y = 2 * jnp.ones((4, 1, 8, 8), jnp.complex64)
+    mean, _ = sde.marginal_prob(x0, y, t)
+    m = np.asarray(mean)
+    assert np.allclose(m[0], 1.0)  # t=0 -> x0
+    assert abs(m[3].real.mean() - (np.exp(-1.5) * 1 + (1 - np.exp(-1.5)) * 2)) < 1e-5
+
+
+def test_ouve_marginal_matches_em_simulation(rng):
+    """Closed-form mean/std vs Euler-Maruyama simulation of the forward SDE."""
+    sde = OUVESDE(theta=1.0, sigma_min=0.05, sigma_max=0.5)
+    n_paths, n_steps, t_end = 4000, 400, 0.6
+    x0, y_val = 1.0, 0.0
+    dt = t_end / n_steps
+    x = np.full((n_paths,), x0)
+    for i in range(n_steps):
+        t = np.full((n_paths,), i * dt)
+        drift, diff = sde.sde(jnp.asarray(x), y_val, jnp.asarray(t))
+        x = x + np.asarray(drift) * dt + np.asarray(diff) * np.sqrt(dt) * rng.standard_normal(n_paths)
+    mean_want, std_want = sde.marginal_prob(
+        jnp.asarray([x0]), jnp.asarray([y_val]), jnp.asarray([t_end])
+    )
+    assert abs(x.mean() - float(mean_want[0])) < 0.01
+    assert abs(x.std() - float(std_want[0])) < 0.01
+
+
+def test_sbve_formulas():
+    sde = SBVESDE()
+    t = jnp.asarray([0.1, 0.5, 0.9])
+    s_t, s_T, s_bar, a_t, a_T, a_bar = sde._sigmas_alphas(t)
+    for v in (s_t, s_T, s_bar, a_t, a_T, a_bar):
+        assert np.isfinite(np.asarray(v)).all()
+    y = jnp.ones((2, 1, 4, 4), jnp.complex64)
+    assert np.allclose(np.asarray(sde.prior_sampling(jax.random.key(0), y.shape, y)), 1.0)
+    # marginal mean at t~0 is ~x0; at t=T is ~y
+    x0 = 3 * jnp.ones_like(y)
+    m0, _ = sde.marginal_prob(x0, y, jnp.asarray([1e-4, 1e-4]))
+    mT, _ = sde.marginal_prob(x0, y, jnp.asarray([1.0, 1.0]))
+    assert abs(np.asarray(m0).real.mean() - 3.0) < 1e-2
+    assert abs(np.asarray(mT).real.mean() - 1.0) < 1e-2
+
+
+def test_reverse_sde_zero_score_is_forward():
+    sde = OUVESDE()
+    rsde = sde.reverse(lambda x, y, t: jnp.zeros_like(x))
+    x = jnp.ones((2, 1, 4, 4), jnp.complex64)
+    y = 2 * x
+    t = jnp.asarray([0.5, 0.5])
+    fd, fg = sde.sde(x, y, t)
+    rd, rg = rsde.sde(x, y, t)
+    np.testing.assert_allclose(np.asarray(rd), np.asarray(fd))
+    np.testing.assert_allclose(np.asarray(rg), np.asarray(fg))
+
+
+# ---------------------------------------------------------------------------
+# Samplers with the analytic score: must recover x0
+# ---------------------------------------------------------------------------
+
+
+def _analytic_score(sde, x0):
+    def score(x, y, t):
+        mean, std = sde.marginal_prob(x0, y, t)
+        return -(x - mean) / _bcast(std, x) ** 2
+
+    return score
+
+
+@pytest.mark.parametrize("pred,corr", [("reverse_diffusion", "ald"), ("euler_maruyama", "none")])
+def test_pc_sampler_recovers_x0(pred, corr, rng):
+    sde = OUVESDE(N=50)
+    x0 = jnp.asarray(
+        (rng.standard_normal((2, 1, 8, 8)) + 1j * rng.standard_normal((2, 1, 8, 8))).astype(
+            np.complex64
+        )
+    )
+    y = x0 + 0.3 * jnp.asarray(
+        (rng.standard_normal((2, 1, 8, 8)) + 1j * rng.standard_normal((2, 1, 8, 8))).astype(
+            np.complex64
+        )
+    )
+    sampler = sampling.get_pc_sampler(pred, corr, sde, _analytic_score(sde, x0), y, snr=0.1)
+    x_hat, ns = jax.jit(sampler)(jax.random.key(0))
+    err = float(jnp.sqrt(jnp.mean(jnp.abs(x_hat - x0) ** 2)))
+    scale = float(jnp.sqrt(jnp.mean(jnp.abs(x0) ** 2)))
+    assert err / scale < 0.15, f"relative error {err/scale}"
+
+
+def test_ode_sampler_recovers_x0(rng):
+    sde = OUVESDE(N=60)
+    x0 = jnp.asarray(
+        (rng.standard_normal((1, 1, 8, 8)) + 1j * rng.standard_normal((1, 1, 8, 8))).astype(
+            np.complex64
+        )
+    )
+    y = x0 + 0.3
+    sampler = sampling.get_ode_sampler(sde, _analytic_score(sde, x0), y)
+    x_hat, nfe = jax.jit(sampler)(jax.random.key(0))
+    err = float(jnp.sqrt(jnp.mean(jnp.abs(x_hat - x0) ** 2)))
+    scale = float(jnp.sqrt(jnp.mean(jnp.abs(x0) ** 2)))
+    assert err / scale < 0.15
+
+
+def test_sb_sampler_runs(rng):
+    sde = SBVESDE(N=20)
+    y = jnp.asarray(
+        (rng.standard_normal((1, 1, 8, 8)) + 1j * rng.standard_normal((1, 1, 8, 8))).astype(
+            np.complex64
+        )
+    )
+    x0 = 0.5 * y
+    model_fn = lambda x, yy, t: x0  # perfect data-prediction model
+    for stype in ("ode", "sde"):
+        sampler = sampling.get_sb_sampler(sde, model_fn, y, sampler_type=stype)
+        x_hat, _ = jax.jit(sampler)(jax.random.key(0))
+        assert x_hat.shape == y.shape
+        err = float(jnp.sqrt(jnp.mean(jnp.abs(x_hat - x0) ** 2)))
+        assert err < 0.3, f"{stype}: {err}"
+
+
+# ---------------------------------------------------------------------------
+# Backbones
+# ---------------------------------------------------------------------------
+
+TINY = dict(nf=16, ch_mult=(1, 2), num_res_blocks=1, attn_resolutions=(16,))
+
+
+def _cplx(rng, shape):
+    return jnp.asarray(
+        (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)).astype(np.complex64)
+    )
+
+
+def test_ncsnpp_forward(rng):
+    model = NCSNpp(**TINY)
+    x = _cplx(rng, (2, 2, 32, 32))  # [x_t, y] stacked on channel axis
+    t = jnp.asarray([0.5, 0.7])
+    params = model.init(jax.random.key(0), x, t)
+    out = model.apply(params, x, t)
+    assert out.shape == (2, 1, 32, 32) and out.dtype == jnp.complex64
+    assert np.isfinite(np.asarray(out).real).all()
+
+
+def test_ncsnpp_v2_forward(rng):
+    model = NCSNpp_v2(**TINY)
+    x = _cplx(rng, (2, 1, 32, 32))
+    y = _cplx(rng, (2, 1, 32, 32))
+    t = jnp.asarray([0.5, 0.7])
+    params = model.init(jax.random.key(0), x, y, t)
+    out = model.apply(params, x, y, t)
+    assert out.shape == (2, 1, 32, 32)
+
+
+def test_ncsnpp_48k_forward(rng):
+    model = NCSNpp_48k(nf=16, ch_mult=(1, 2), num_res_blocks=1)
+    x = _cplx(rng, (1, 2, 32, 32))
+    t = jnp.asarray([0.5])
+    params = model.init(jax.random.key(0), x, t)
+    out = model.apply(params, x, t)
+    assert out.shape == (1, 1, 32, 32)
+
+
+# ---------------------------------------------------------------------------
+# ScoreModel
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tiny_score_model():
+    config = ScoreModelConfig(
+        backbone="ncsnpp",
+        sde="ouve",
+        backbone_kwargs=tuple(TINY.items()),
+        sde_kwargs=(("N", 4),),
+    )
+    model = ScoreModel(config, SpecTransforms(n_fft=62, hop_length=16, num_frames=32))
+    state = model.init(jax.random.key(0), spec_shape=(1, 1, 32, 32))
+    return model, state
+
+
+def test_score_model_train_step(tiny_score_model, rng):
+    model, state = tiny_score_model
+    x = _cplx(rng, (2, 1, 32, 32))
+    y = x + 0.1 * _cplx(rng, (2, 1, 32, 32))
+    step = jax.jit(model.make_train_step())
+    new_state, metrics = step(state, jax.random.key(1), x, y)
+    assert np.isfinite(float(metrics["train_loss"]))
+    assert int(new_state.step) == 1
+    # EMA moved slightly toward new params but is not equal to them
+    p = jax.tree.leaves(new_state.params)[0]
+    e = jax.tree.leaves(new_state.ema_params)[0]
+    assert not np.allclose(np.asarray(p), np.asarray(e)) or np.allclose(
+        np.asarray(jax.tree.leaves(state.params)[0]), np.asarray(p)
+    )
+
+
+@pytest.mark.parametrize("loss_type,c", [("denoiser", "1"), ("data_prediction", "edm")])
+def test_score_model_other_losses(loss_type, c, rng):
+    config = ScoreModelConfig(
+        backbone="ncsnpp_v2",
+        sde="ouve",
+        loss_type=loss_type,
+        loss_weighting="sigma^2" if loss_type == "denoiser" else "1",
+        c_in=c, c_out=c, c_skip="edm" if c == "edm" else "0",
+        backbone_kwargs=tuple(TINY.items()),
+        sde_kwargs=(("N", 4),),
+    )
+    model = ScoreModel(config, SpecTransforms(n_fft=62, hop_length=16, num_frames=32))
+    state = model.init(jax.random.key(0), spec_shape=(1, 1, 32, 32))
+    x = _cplx(rng, (2, 1, 32, 32))
+    y = x + 0.1
+    loss = model.step_loss(state.params, jax.random.key(1), x, y, train=False)
+    assert np.isfinite(float(loss))
+
+
+def test_enhance_end_to_end(tiny_score_model, rng):
+    model, state = tiny_score_model
+    y = rng.standard_normal(2000).astype(np.float32)
+    x_hat, nfe, rtf = model.enhance(
+        state.ema_params, jnp.asarray(y), key=jax.random.key(0), N=2, timeit=True
+    )
+    assert x_hat.shape == (2000,)
+    assert np.isfinite(x_hat).all()
+    assert nfe == 2 * 2 and rtf > 0
+
+
+# ---------------------------------------------------------------------------
+# DCUNet
+# ---------------------------------------------------------------------------
+
+
+def test_dcunet_forward(rng):
+    from task_aware_audio_coding_perceptual_tpu.models.sgmse.dcunet import DCUNet
+
+    model = DCUNet()
+    spec = _cplx(rng, (1, 2, 257, 33))
+    t = jnp.asarray([0.5])
+    v = model.init(jax.random.key(0), spec, t)
+    out = model.apply(v, spec, t)
+    assert out.shape == (1, 1, 257, 33) and out.dtype == jnp.complex64
+    # time axis not divisible: pad mode fixes it transparently
+    spec2 = _cplx(rng, (1, 2, 257, 30))
+    v2 = model.init(jax.random.key(0), spec2, t)
+    out2 = model.apply(v2, spec2, t)
+    assert out2.shape == (1, 1, 257, 30)
+
+
+def test_dcunet_ds_embedding(rng):
+    from task_aware_audio_coding_perceptual_tpu.models.sgmse.dcunet import DCUNet
+
+    model = DCUNet(dcunet_time_embedding="ds", dcunet_architecture="DCUNet-10")
+    spec = _cplx(rng, (1, 2, 257, 33))
+    t = jnp.asarray([0.3])
+    v = model.init(jax.random.key(0), spec, t)
+    out = model.apply(v, spec, t)
+    assert out.shape == (1, 1, 257, 33)

@@ -1,0 +1,149 @@
+"""End-to-end smoke tests for the training loops, checkpoints, task-aware."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from task_aware_audio_coding_perceptual_tpu.data.datasets import (
+    write_synthetic_spectral_dataset,
+)
+from task_aware_audio_coding_perceptual_tpu.models import task_aware
+from task_aware_audio_coding_perceptual_tpu.models.msstftd import (
+    MultiScaleSTFTDiscriminator,
+)
+from task_aware_audio_coding_perceptual_tpu.train import checkpoints
+from task_aware_audio_coding_perceptual_tpu.train.spectral_train import (
+    SpectralTrainConfig,
+    acceptance_check,
+    evaluate_spectral_ae,
+    train_spectral_ae,
+)
+
+F_DIM, T_DIM = 65, 40
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("pkl")
+    return write_synthetic_spectral_dataset(str(root), n_items=4, shape=(F_DIM, T_DIM))
+
+
+def _cfg(**kw):
+    base = dict(
+        model="SpectralResE2D1", batch_size=2, num_epochs=2, z_dim=32,
+        total_features_after=32, freq_dim=F_DIM, time_dim=T_DIM, save_every=2,
+    )
+    base.update(kw)
+    return SpectralTrainConfig(**base)
+
+
+def test_train_eval_roundtrip(tiny_dataset, tmp_path):
+    clean_dir, noisy_dirs = tiny_dataset
+    cfg = _cfg(out_dir=str(tmp_path / "models"))
+    model, state = train_spectral_ae(cfg, clean_dir, noisy_dirs[:2], max_steps=4)
+    assert int(state.step) >= 2
+
+    run_dir = os.path.join(cfg.out_dir, "SpectralResE2D1_32")
+    assert os.path.exists(os.path.join(run_dir, "SpectralResE2D1_32.csv"))
+    assert os.path.isdir(os.path.join(run_dir, "model_epoch_2"))
+
+    results = evaluate_spectral_ae(
+        cfg, clean_dir, noisy_dirs[:2], state,
+        out_csv=str(tmp_path / "SpectralResE2D1_32_test_results.csv"),
+    )
+    assert np.isfinite(results["avg_mse"])
+    checks = acceptance_check(results)
+    assert set(checks) == {"mse_ok", "nuc_ok", "cos_ok", "spec_snr_ok"}
+
+
+def test_checkpoint_restore_roundtrip(tiny_dataset, tmp_path):
+    clean_dir, noisy_dirs = tiny_dataset
+    cfg = _cfg(out_dir=str(tmp_path / "m"), num_epochs=2)
+    model, state = train_spectral_ae(cfg, clean_dir, noisy_dirs[:2], max_steps=4)
+    path = os.path.join(cfg.out_dir, "SpectralResE2D1_32", "model_epoch_2")
+    restored = checkpoints.restore_single(path, state)
+    a = jax.tree.leaves(state.variables["params"])[0]
+    b = jax.tree.leaves(restored.variables["params"])[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_manager_topk(tmp_path):
+    mgr = checkpoints.CheckpointManager(
+        str(tmp_path / "ck"), max_to_keep=2, best_metric="pesq", best_mode="max"
+    )
+    state = {"w": jnp.arange(4.0)}
+    for step, pesq in [(1, 2.0), (2, 3.5), (3, 1.0)]:
+        mgr.save(step, {"w": state["w"] * step}, metrics={"pesq": pesq})
+    assert mgr.best_step() == 2
+    restored = mgr.restore({"w": jnp.zeros(4)}, step=mgr.best_step())
+    np.testing.assert_allclose(np.asarray(restored["w"]), np.arange(4.0) * 2)
+    mgr.close()
+
+
+def test_task_aware_asr_loss(rng):
+    B, F, T = 2, 65, 40
+    decoded = jnp.asarray(rng.standard_normal((B, 2, F, T)).astype(np.float32))
+    clean = {
+        "magnitude": jnp.asarray(np.abs(rng.standard_normal((B, F, T))).astype(np.float32)),
+        "phase": jnp.asarray(rng.standard_normal((B, F, T)).astype(np.float32)),
+    }
+    asr_apply = task_aware.make_asr_head(example_len=4000)[0]
+    disc = MultiScaleSTFTDiscriminator(filters=4, n_ffts=(256,), hop_lengths=(64,), win_lengths=(256,))
+    dp = disc.init(jax.random.key(0), jnp.zeros((1, 1, 8000)))
+
+    loss = task_aware.TaskAwareASRLoss(asr_apply, disc, dp, detached=True)
+    mse, dl = loss(decoded, clean)
+    assert np.isfinite(float(mse)) and np.isfinite(float(dl))
+
+    # detached=True -> no gradient contribution
+    def f(decoded):
+        m, d = task_aware.TaskAwareASRLoss(asr_apply, disc, dp, detached=True)(decoded, clean)
+        return m + d
+
+    g = jax.grad(f)(decoded)
+    assert float(jnp.abs(g).max()) == 0.0
+
+    # detached=False -> gradients flow
+    def f2(decoded):
+        m, d = task_aware.TaskAwareASRLoss(asr_apply, disc, dp, detached=False)(decoded, clean)
+        return m + d
+
+    g2 = jax.grad(f2)(decoded)
+    assert float(jnp.abs(g2).max()) > 0.0
+
+
+def test_task_aware_enhancement_loss(rng):
+    B, F, T = 1, 65, 40
+    decoded = jnp.asarray(rng.standard_normal((B, 2, F, T)).astype(np.float32))
+    clean = {
+        "magnitude": jnp.asarray(np.abs(rng.standard_normal((B, F, T))).astype(np.float32)),
+        "phase": jnp.asarray(rng.standard_normal((B, F, T)).astype(np.float32)),
+    }
+    disc = MultiScaleSTFTDiscriminator(filters=4, n_ffts=(256,), hop_lengths=(64,), win_lengths=(256,))
+    dp = disc.init(jax.random.key(0), jnp.zeros((1, 1, 8000)))
+    enhance_fn = lambda wav: wav * 0.9  # stand-in frozen enhancer
+    loss = task_aware.TaskAwareEnhancementLoss(enhance_fn, disc, dp, detached=False)
+    mse, dl = loss(decoded, clean)
+    assert np.isfinite(float(mse)) and np.isfinite(float(dl))
+
+
+def test_task_aware_in_training_loop(tiny_dataset, tmp_path):
+    clean_dir, noisy_dirs = tiny_dataset
+    cfg = _cfg(out_dir=str(tmp_path / "m2"), num_epochs=1, include_spec_loss=True)
+    disc = MultiScaleSTFTDiscriminator(filters=4, n_ffts=(256,), hop_lengths=(64,), win_lengths=(256,))
+    dp = disc.init(jax.random.key(0), jnp.zeros((1, 1, 8000)))
+    asr_apply = task_aware.make_asr_head(example_len=4000)[0]
+    tl = task_aware.TaskAwareASRLoss(asr_apply, disc, dp, detached=True)
+    model, state = train_spectral_ae(
+        cfg, clean_dir, noisy_dirs[:2], task_loss_fn=tl, max_steps=2
+    )
+    run_dir = os.path.join(cfg.out_dir, "SpectralResE2D1_32")
+    csv_path = os.path.join(run_dir, "SpectralResE2D1_32.csv")
+    import csv as csvmod
+
+    rows = list(csvmod.DictReader(open(csv_path)))
+    assert rows and rows[0]["task_mse"] != ""
