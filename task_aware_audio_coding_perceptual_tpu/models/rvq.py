@@ -60,11 +60,16 @@ def init_rvq(
 
 
 def _lookup(x_flat, codebook, use_pallas: bool):
+    # The lookup is piecewise-constant in x and the codebooks learn via EMA
+    # (not gradients), so the boundary is non-differentiable by design;
+    # stop_gradient keeps the Pallas kernel out of reverse-mode autodiff.
+    x_flat = jax.lax.stop_gradient(x_flat)
+    codebook = jax.lax.stop_gradient(codebook)
     if use_pallas:
         idx, quant = nearest_codebook_pallas(x_flat, codebook)
-        return idx, quant
-    idx, quant, _ = nearest_codebook_ref(x_flat, codebook)
-    return idx, quant
+    else:
+        idx, quant, _ = nearest_codebook_ref(x_flat, codebook)
+    return jax.lax.stop_gradient(idx), jax.lax.stop_gradient(quant)
 
 
 def quantize(

@@ -1,0 +1,195 @@
+"""SGMSE training orchestration (reference ``sgmse/train.py`` +
+``ScoreModel.validation_step``, ``model.py:205-262``).
+
+Epoch loop over the SpecsDataModule, jitted train step, periodic validation
+that enhances ``num_eval_files`` held-out files and computes
+PESQ(-proxy)/SI-SDR/ESTOI, and checkpointing in the reference's scheme:
+keep-last + top-1 on pesq and on si_sdr (``train.py:88-97``). Evaluation
+files are sharded across processes like the reference's rank-sharded eval
+(``model.py:208-223``); on a single host that reduces to the identity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from task_aware_audio_coding_perceptual_tpu import metrics as metrics_lib
+from task_aware_audio_coding_perceptual_tpu.data import wav_io
+from task_aware_audio_coding_perceptual_tpu.data.datamodule import SpecsDataModule
+from task_aware_audio_coding_perceptual_tpu.models.sgmse.score_model import (
+    ScoreModel,
+    ScoreModelState,
+    complex_to_real_pair,
+)
+from task_aware_audio_coding_perceptual_tpu.train.checkpoints import CheckpointManager
+from task_aware_audio_coding_perceptual_tpu.train.logging_utils import CSVLogger
+
+
+def shard_eval_files(files, rank: Optional[int] = None, world_size: Optional[int] = None):
+    """Split eval files across processes (reference ``model.py:208-223``)."""
+    rank = jax.process_index() if rank is None else rank
+    world_size = jax.process_count() if world_size is None else world_size
+    per = len(files) // world_size
+    if rank == world_size - 1:
+        return files[rank * per :]
+    return files[rank * per : (rank + 1) * per]
+
+
+def evaluate_enhancement(
+    model: ScoreModel,
+    params,
+    clean_files,
+    noisy_files,
+    num_eval_files: int = 20,
+    N: int = 30,
+    snr: float = 0.5,
+    key=None,
+    sr: int = 16000,
+    use_proxy_pesq: bool = True,
+):
+    """Enhance files and average PESQ(-proxy)/SI-SDR/ESTOI
+    (reference ``util/inference.py:16-63`` / ``model.py:226-257``)."""
+    idx = np.linspace(0, len(clean_files) - 1, min(num_eval_files, len(clean_files))).astype(int)
+    clean_files = [clean_files[i] for i in idx]
+    noisy_files = [noisy_files[i] for i in idx]
+    clean_files = shard_eval_files(clean_files)
+    noisy_files = shard_eval_files(noisy_files)
+
+    key = key if key is not None else jax.random.key(0)
+    pesq_sum = sdr_sum = estoi_sum = 0.0
+    for cf, nf in zip(clean_files, noisy_files):
+        x, sr_x = wav_io.load(cf)
+        y, sr_y = wav_io.load(nf)
+        assert sr_x == sr_y
+        key, sub = jax.random.split(key)
+        x_hat = model.enhance(params, jnp.asarray(y[0]), key=sub, N=N, snr=snr)
+        x0 = x[0][: len(x_hat)]
+        x_hat = x_hat[: len(x0)]
+        if use_proxy_pesq:
+            pesq_sum += metrics_lib.pesq_proxy(16000, x0, x_hat)
+        else:  # pragma: no cover
+            pesq_sum += metrics_lib.pesq(16000, x0, x_hat, "wb")
+        sdr_sum += metrics_lib.si_sdr(x0, x_hat)
+        estoi_sum += metrics_lib.stoi(x0, x_hat, sr_x, extended=True)
+    n = max(len(clean_files), 1)
+    return {
+        "pesq": pesq_sum / n,
+        "si_sdr": sdr_sum / n,
+        "estoi": estoi_sum / n,
+    }
+
+
+@dataclasses.dataclass
+class SgmseTrainerConfig:
+    max_epochs: int = 10
+    num_eval_files: int = 4
+    eval_N: int = 8
+    log_dir: str = "./logs_sgmse"
+    save_every_steps: Optional[int] = None  # reference: 50k
+    max_steps: Optional[int] = None
+
+
+def train_sgmse(
+    model: ScoreModel,
+    data: SpecsDataModule,
+    cfg: SgmseTrainerConfig,
+    state: Optional[ScoreModelState] = None,
+    resume_from: Optional[str] = None,
+):
+    """Fit loop; returns final state. Checkpoints: last + best-pesq."""
+    data.setup()
+    X0, _ = data.train_set[0]
+    F, T = X0.shape[-2], X0.shape[-1]
+    if state is None:
+        state = model.init(jax.random.key(0), spec_shape=(1, 1, F, T))
+
+    mgr = CheckpointManager(
+        os.path.join(cfg.log_dir, "checkpoints"),
+        max_to_keep=3,
+        best_metric="pesq",
+        best_mode="max",
+    )
+    if resume_from is not None or mgr.latest_step() is not None:
+        try:
+            state = mgr.restore(state)
+        except FileNotFoundError:
+            pass
+
+    logger = CSVLogger(
+        os.path.join(cfg.log_dir, "metrics.csv"),
+        ["epoch", "step", "train_loss", "valid_loss", "pesq", "si_sdr", "estoi"],
+    )
+    train_step = jax.jit(model.make_train_step())
+    key = jax.random.key(42)
+
+    steps = int(state.step)
+    for epoch in range(cfg.max_epochs):
+        losses = []
+        for X, Y in data.train_dataloader(epoch):
+            key, sub = jax.random.split(key)
+            # real-pair boundary: complex arrays can't cross host->device
+            xb = jnp.asarray(np.stack([X.real, X.imag], -1))
+            yb = jnp.asarray(np.stack([Y.real, Y.imag], -1))
+            state, m = train_step(state, sub, xb, yb)
+            losses.append(float(m["train_loss"]))
+            steps += 1
+            if cfg.save_every_steps and steps % cfg.save_every_steps == 0:
+                mgr.save(steps, state, metrics={"pesq": -1.0})
+            if cfg.max_steps and steps >= cfg.max_steps:
+                break
+
+        # validation: loss + file-based enhancement metrics (EMA params)
+        vlosses = []
+        for X, Y in data.val_dataloader():
+            key, sub = jax.random.split(key)
+            xb = jnp.asarray(np.stack([X.real, X.imag], -1))
+            yb = jnp.asarray(np.stack([Y.real, Y.imag], -1))
+            vlosses.append(float(model.step_loss(state.params, sub, xb, yb, train=False)))
+
+        eval_metrics = {"pesq": float("nan"), "si_sdr": float("nan"), "estoi": float("nan")}
+        if cfg.num_eval_files > 0:
+            eval_metrics = evaluate_enhancement(
+                model,
+                state.ema_params,
+                data.valid_set.clean_files,
+                data.valid_set.noisy_files,
+                num_eval_files=cfg.num_eval_files,
+                N=cfg.eval_N,
+            )
+
+        logger.log(
+            epoch=epoch,
+            step=steps,
+            train_loss=float(np.mean(losses)) if losses else "",
+            valid_loss=float(np.mean(vlosses)) if vlosses else "",
+            **{k: round(v, 4) for k, v in eval_metrics.items()},
+        )
+        mgr.save(steps, state, metrics={"pesq": eval_metrics["pesq"]})
+        if cfg.max_steps and steps >= cfg.max_steps:
+            break
+
+    logger.close()
+    mgr.close()
+    return state
+
+
+def make_enhance_fn(model: ScoreModel, params, N: int = 30, **kwargs):
+    """Frozen enhancement head for task-aware training (the role of the
+    reference's ``test_single.enhance_audio`` import,
+    ``train_pkl_file_task_aware_update.py:34``)."""
+
+    def enhance_fn(wav_batch: jax.Array) -> jax.Array:
+        outs = []
+        for i in range(wav_batch.shape[0]):
+            outs.append(
+                jnp.asarray(model.enhance(params, wav_batch[i], N=N, **kwargs))
+            )
+        return jnp.stack(outs)
+
+    return enhance_fn

