@@ -1,0 +1,87 @@
+"""Multi-device tests on the 8-device virtual CPU mesh (SURVEY §4: the
+reference has no distributed tests; the build adds simulated-host DP tests).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from task_aware_audio_coding_perceptual_tpu.models.codec import CodecConfig
+from task_aware_audio_coding_perceptual_tpu.parallel import (
+    accumulate_gradients,
+    batch_sharding,
+    make_mesh,
+    shard_batch,
+    shard_params,
+)
+from task_aware_audio_coding_perceptual_tpu.train import codec_train
+
+TINY = CodecConfig(channels=4, latent_dim=8, strides=(2, 2), num_quantizers=2, codebook_size=16)
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(8, tp=2)
+    assert mesh.shape == {"dp": 4, "tp": 2}
+    mesh1 = make_mesh(4, tp=1)
+    assert mesh1.shape == {"dp": 4, "tp": 1}
+
+
+def test_dp_train_step_matches_single_device(rng):
+    """The sharded step must produce the same loss/params as unsharded."""
+    model, state, tx = codec_train.create_train_state(TINY, jax.random.key(0))
+    step = jax.jit(codec_train.make_train_step(model, tx, use_pallas=False))
+    wav = jnp.asarray(rng.standard_normal((8, TINY.hop * 16, 1)).astype(np.float32))
+
+    # single device
+    s1, m1 = step(state, wav)
+
+    # dp=8 mesh
+    mesh = make_mesh(8, tp=1)
+    with jax.set_mesh(mesh):
+        wav_sharded = jax.device_put(wav, NamedSharding(mesh, P("dp")))
+        state_repl = jax.device_put(state, NamedSharding(mesh, P()))
+        s2, m2 = step(state_repl, wav_sharded)
+
+    assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-4
+    p1 = jax.tree.leaves(s1.params)[0]
+    p2 = jax.tree.leaves(s2.params)[0]
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-4, atol=1e-5)
+
+
+def test_tp_sharded_params_run(rng):
+    mesh = make_mesh(8, tp=2)
+    model, state, tx = codec_train.create_train_state(TINY, jax.random.key(0))
+    step = jax.jit(codec_train.make_train_step(model, tx, use_pallas=False))
+    wav = jnp.asarray(rng.standard_normal((4, TINY.hop * 16, 1)).astype(np.float32))
+    with jax.set_mesh(mesh):
+        wav_s = jax.device_put(wav, NamedSharding(mesh, P("dp")))
+        params = shard_params(mesh, state.params, tp_min_size=8)
+        state = state.replace(params=params)
+        s2, m2 = step(state, wav_s)
+    assert np.isfinite(float(m2["loss"]))
+
+
+def test_grad_accumulation_matches_full_batch(rng):
+    w = jnp.asarray(rng.standard_normal((4, 3)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((8, 4)).astype(np.float32))
+    y = jnp.asarray(rng.standard_normal((8, 3)).astype(np.float32))
+
+    def loss_fn(w, batch):
+        xb, yb = batch
+        return jnp.mean((xb @ w - yb) ** 2)
+
+    full_loss, full_grads = jax.value_and_grad(loss_fn)(w, (x, y))
+    acc_loss, acc_grads = accumulate_gradients(loss_fn, w, (x, y), num_microbatches=4)
+    # microbatching averages means over smaller denominators: same value here
+    np.testing.assert_allclose(float(acc_loss), float(full_loss), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(acc_grads), np.asarray(full_grads), rtol=1e-5)
+
+
+def test_shard_batch_util(rng):
+    mesh = make_mesh(8, tp=1)
+    batch = {"x": jnp.zeros((8, 4)), "y": jnp.zeros((8,))}
+    out = shard_batch(mesh, batch)
+    assert out["x"].sharding.spec == P("dp")
