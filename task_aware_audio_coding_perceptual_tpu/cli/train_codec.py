@@ -23,11 +23,23 @@ from task_aware_audio_coding_perceptual_tpu.train.logging_utils import CSVLogger
 
 
 def _wav_batches(files, batch_size, seconds, sr, hop, seed=0):
+    from task_aware_audio_coding_perceptual_tpu.data import native_loader
+
     rng = np.random.default_rng(seed)
     T = int(seconds * sr)
     T -= T % hop
+    order = rng.permutation(files)
+
+    if native_loader.available():
+        # native threaded decode straight into one (B, T) buffer
+        for s in range(0, len(order) - batch_size + 1, batch_size):
+            paths = [str(f) for f in order[s : s + batch_size]]
+            starts = [int(rng.integers(0, 1 << 30)) for _ in paths]  # clamped natively
+            yield native_loader.load_batch(paths, T, starts=starts)[..., None]
+        return
+
     batch = []
-    for f in rng.permutation(files):
+    for f in order:
         x, fsr = wav_io.load(str(f))
         x = x[0]
         if fsr != sr:
