@@ -44,7 +44,7 @@ def main():
     config = CodecConfig(dtype="bfloat16")  # MXU-friendly compute dtype
     model = NeuralAudioCodec(config)
 
-    batch = 64  # concurrent streams per call
+    batch = 256  # concurrent streams per call (batch is the utilization lever on v5e)
     params = model.init(jax.random.key(0), jnp.zeros((1, config.hop * 2, 1)))
     rvq_state = rvq_lib.init_rvq(
         jax.random.key(1), config.num_quantizers, config.codebook_size, config.latent_dim

