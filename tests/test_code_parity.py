@@ -1,0 +1,44 @@
+"""Golden-code determinism: RVQ code indices must be bit-identical to the
+committed CPU-generated reference (north-star requirement, BASELINE.json).
+
+The same script logic runs on TPU via ``scripts/check_code_parity.py`` so
+cross-backend identity can be verified on real hardware.
+"""
+
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from task_aware_audio_coding_perceptual_tpu.models import rvq as rvq_lib
+from task_aware_audio_coding_perceptual_tpu.models.codec import (
+    CodecConfig,
+    NeuralAudioCodec,
+)
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "rvq_codes.npy")
+
+
+def _compute_codes(use_pallas: bool):
+    config = CodecConfig()
+    model = NeuralAudioCodec(config)
+    rng = np.random.default_rng(1234)
+    wav = rng.standard_normal((2, config.hop * 25, 1)).astype(np.float32)
+    params = model.init(jax.random.key(7), jnp.asarray(wav[:1]))
+    rvq_state = rvq_lib.init_rvq(
+        jax.random.key(8), config.num_quantizers, config.codebook_size, config.latent_dim
+    )
+    z = model.apply(params, jnp.asarray(wav), method=NeuralAudioCodec.encode)
+    return np.asarray(rvq_lib.quantize(rvq_state, z, use_pallas=use_pallas).codes)
+
+
+def test_codes_match_golden_ref_path():
+    golden = np.load(GOLDEN)
+    np.testing.assert_array_equal(_compute_codes(use_pallas=False), golden)
+
+
+def test_codes_match_golden_pallas_path():
+    golden = np.load(GOLDEN)
+    np.testing.assert_array_equal(_compute_codes(use_pallas=True), golden)
