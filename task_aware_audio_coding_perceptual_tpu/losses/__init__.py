@@ -1,5 +1,9 @@
 """Loss library: latent regularizers, spectral, multi-resolution, adversarial."""
 
+from task_aware_audio_coding_perceptual_tpu.losses.pesq_loss import (  # noqa: F401
+    pesq_style_loss,
+    pesq_style_mos,
+)
 from task_aware_audio_coding_perceptual_tpu.losses.audio import (  # noqa: F401
     nuclear_norm_loss,
     cosine_similarity_loss,

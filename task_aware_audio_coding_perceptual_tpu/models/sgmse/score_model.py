@@ -246,6 +246,15 @@ class ScoreModel:
             x_td = self.to_audio(x[:, 0], target_len)
             losses_l1 = (1 / target_len) * jnp.abs(x_hat_td - x_td)
             loss_l1 = jnp.mean(0.5 * jnp.sum(losses_l1.reshape(B, -1), axis=-1))
+            if cfg.pesq_weight > 0.0:
+                # differentiable PESQ-style term (reference uses torch_pesq,
+                # model.py:177-181)
+                from task_aware_audio_coding_perceptual_tpu.losses import (
+                    pesq_style_loss,
+                )
+
+                losses_pesq = jnp.mean(pesq_style_loss(x_td, x_hat_td, sr=cfg.sr))
+                return loss_tf + cfg.l1_weight * loss_l1 + cfg.pesq_weight * losses_pesq
             return loss_tf + cfg.l1_weight * loss_l1
         raise ValueError(f"Invalid loss type: {cfg.loss_type}")
 
