@@ -59,6 +59,37 @@ def init_rvq(
     )
 
 
+def init_rvq_from_latents(
+    key: jax.Array,
+    latents: jax.Array,
+    num_quantizers: int,
+    codebook_size: int,
+    noise_scale: float = 1e-3,
+) -> RvqState:
+    """Data-driven codebook init: sample codewords from real encoder latents
+    (k-means++-lite). Mis-scaled random codebooks make the commitment loss
+    collapse the latent space early in training; seeding each level from the
+    residual distribution it will quantize avoids that.
+    """
+    d = latents.shape[-1]
+    x = jax.lax.stop_gradient(latents.reshape(-1, d).astype(jnp.float32))
+    cbs = []
+    residual = x
+    for level in range(num_quantizers):
+        key, k1, k2 = jax.random.split(key, 3)
+        idx = jax.random.randint(k1, (codebook_size,), 0, x.shape[0])
+        cb = residual[idx] + noise_scale * jax.random.normal(k2, (codebook_size, d))
+        cbs.append(cb)
+        _, q, _ = nearest_codebook_ref(residual, cb)
+        residual = residual - q
+    codebooks = jnp.stack(cbs)
+    return RvqState(
+        codebooks=codebooks,
+        ema_count=jnp.ones((num_quantizers, codebook_size), jnp.float32),
+        ema_sum=codebooks.astype(jnp.float32),
+    )
+
+
 def _lookup(x_flat, codebook, use_pallas: bool):
     # The lookup is piecewise-constant in x and the codebooks learn via EMA
     # (not gradients), so the boundary is non-differentiable by design;

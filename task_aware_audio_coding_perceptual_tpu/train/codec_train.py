@@ -53,7 +53,7 @@ def create_train_state(
     rvq_state = rvq_lib.init_rvq(
         k2, config.num_quantizers, config.codebook_size, config.latent_dim
     )
-    tx = optax.adam(learning_rate)
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(learning_rate))
     state = CodecTrainState(
         params=params,
         opt_state=tx.init(params),

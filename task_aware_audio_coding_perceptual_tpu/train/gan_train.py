@@ -56,8 +56,12 @@ def create_gan_state(
     rvq_state = rvq_lib.init_rvq(
         k3, config.num_quantizers, config.codebook_size, config.latent_dim
     )
-    gen_tx = optax.adam(gen_lr, b1=0.5, b2=0.9)
-    disc_tx = optax.adam(disc_lr, b1=0.5, b2=0.9)
+    gen_tx = optax.chain(
+        optax.clip_by_global_norm(1.0), optax.adam(gen_lr, b1=0.5, b2=0.9)
+    )
+    disc_tx = optax.chain(
+        optax.clip_by_global_norm(1.0), optax.adam(disc_lr, b1=0.5, b2=0.9)
+    )
     state = GanTrainState(
         gen_params=gen_params,
         gen_opt=gen_tx.init(gen_params),
