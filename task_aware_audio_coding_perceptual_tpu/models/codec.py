@@ -37,10 +37,13 @@ class CodecConfig:
     dilations: Tuple[int, ...] = (1, 3, 9)
     num_quantizers: int = 8
     codebook_size: int = 1024
-    activation: str = "snake"  # "snake" | "elu"
+    # default elu: snake accumulates a DC offset through depth and blows up
+    # activations at init (z std ~40 vs ~1) without its own stabilizers
+    activation: str = "elu"  # "snake" | "elu"
     causal: bool = True
     dtype: str = "float32"
     upsample_mode: str = "transpose"  # "transpose" | "subpixel"
+    weight_norm: bool = True  # weight-normalized convs (EnCodec/BigVGAN style)
 
     @property
     def hop(self) -> int:
@@ -87,13 +90,14 @@ class CausalConv(nn.Module):
     stride: int = 1
     dilation: int = 1
     dtype: object = jnp.float32
+    weight_norm: bool = False
 
     @property
     def context(self) -> int:
         return (self.kernel_size - 1) * self.dilation
 
     def setup(self):
-        self.conv = nn.Conv(
+        conv = nn.Conv(
             self.features,
             (self.kernel_size,),
             strides=(self.stride,),
@@ -101,6 +105,7 @@ class CausalConv(nn.Module):
             padding="VALID",
             dtype=self.dtype,
         )
+        self.conv = nn.WeightNorm(conv) if self.weight_norm else conv
 
     def __call__(self, x):
         x = jnp.pad(x, ((0, 0), (self.context, 0), (0, 0)))
@@ -123,6 +128,7 @@ class CausalConvTranspose(nn.Module):
     features: int
     stride: int
     dtype: object = jnp.float32
+    weight_norm: bool = False
 
     @property
     def kernel_size(self) -> int:
@@ -133,13 +139,14 @@ class CausalConvTranspose(nn.Module):
         return self.kernel_size - self.stride
 
     def setup(self):
-        self.conv = nn.ConvTranspose(
+        conv = nn.ConvTranspose(
             self.features,
             (self.kernel_size,),
             strides=(self.stride,),
             padding="VALID",
             dtype=self.dtype,
         )
+        self.conv = nn.WeightNorm(conv) if self.weight_norm else conv
 
     def __call__(self, x):
         y = self.conv(x)  # (B, T*s + tail, C)
@@ -169,10 +176,12 @@ class CausalSubpixelUpsample(nn.Module):
     stride: int
     kernel_size: int = 3
     dtype: object = jnp.float32
+    weight_norm: bool = False
 
     def setup(self):
         self.conv = CausalConv(
-            self.features * self.stride, self.kernel_size, dtype=self.dtype
+            self.features * self.stride, self.kernel_size, dtype=self.dtype,
+            weight_norm=self.weight_norm,
         )
 
     def __call__(self, x):
@@ -196,12 +205,14 @@ class ResidualUnit(nn.Module):
     dilation: int
     activation: str = "snake"
     dtype: object = jnp.float32
+    weight_norm: bool = False
 
     def setup(self):
         self.act1 = _act(self.activation, self.dim)
-        self.conv1 = CausalConv(self.dim, 7, dilation=self.dilation, dtype=self.dtype)
+        self.conv1 = CausalConv(self.dim, 7, dilation=self.dilation, dtype=self.dtype,
+                                weight_norm=self.weight_norm)
         self.act2 = _act(self.activation, self.dim)
-        self.conv2 = CausalConv(self.dim, 1, dtype=self.dtype)
+        self.conv2 = CausalConv(self.dim, 1, dtype=self.dtype, weight_norm=self.weight_norm)
 
     def __call__(self, x):
         h = self.conv1(self.act1(x))
@@ -223,16 +234,19 @@ class EncoderBlock(nn.Module):
     dilations: Sequence[int]
     activation: str = "snake"
     dtype: object = jnp.float32
+    weight_norm: bool = False
 
     def setup(self):
         in_dim = self.out_dim // 2
         self.units = [
-            ResidualUnit(in_dim, d, self.activation, dtype=self.dtype)
+            ResidualUnit(in_dim, d, self.activation, dtype=self.dtype,
+                         weight_norm=self.weight_norm)
             for d in self.dilations
         ]
         self.act = _act(self.activation, in_dim)
         self.down = CausalConv(
-            self.out_dim, 2 * self.stride, stride=self.stride, dtype=self.dtype
+            self.out_dim, 2 * self.stride, stride=self.stride, dtype=self.dtype,
+            weight_norm=self.weight_norm,
         )
 
     def __call__(self, x):
@@ -264,15 +278,19 @@ class DecoderBlock(nn.Module):
     activation: str = "snake"
     dtype: object = jnp.float32
     upsample_mode: str = "transpose"
+    weight_norm: bool = False
 
     def setup(self):
         self.act = _act(self.activation, self.out_dim * 2)
         if self.upsample_mode == "subpixel":
-            self.up = CausalSubpixelUpsample(self.out_dim, self.stride, dtype=self.dtype)
+            self.up = CausalSubpixelUpsample(self.out_dim, self.stride, dtype=self.dtype,
+                                             weight_norm=self.weight_norm)
         else:
-            self.up = CausalConvTranspose(self.out_dim, self.stride, dtype=self.dtype)
+            self.up = CausalConvTranspose(self.out_dim, self.stride, dtype=self.dtype,
+                                          weight_norm=self.weight_norm)
         self.units = [
-            ResidualUnit(self.out_dim, d, self.activation, dtype=self.dtype)
+            ResidualUnit(self.out_dim, d, self.activation, dtype=self.dtype,
+                         weight_norm=self.weight_norm)
             for d in self.dilations
         ]
 
@@ -308,14 +326,16 @@ class CodecEncoder(nn.Module):
     def setup(self):
         cfg = self.config
         dt = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
-        self.stem = CausalConv(cfg.channels, 7, dtype=dt)
+        wn = cfg.weight_norm
+        self.stem = CausalConv(cfg.channels, 7, dtype=dt, weight_norm=wn)
         dims = [cfg.channels * 2 ** (i + 1) for i in range(len(cfg.strides))]
         self.blocks = [
-            EncoderBlock(dims[i], cfg.strides[i], cfg.dilations, cfg.activation, dtype=dt)
+            EncoderBlock(dims[i], cfg.strides[i], cfg.dilations, cfg.activation, dtype=dt,
+                         weight_norm=wn)
             for i in range(len(cfg.strides))
         ]
         self.final_act = _act(cfg.activation, dims[-1])
-        self.head = CausalConv(cfg.latent_dim, 3, dtype=dt)
+        self.head = CausalConv(cfg.latent_dim, 3, dtype=dt, weight_norm=wn)
 
     def __call__(self, x):
         """x: (B, T, 1) waveform -> (B, T/hop, latent_dim)."""
@@ -351,15 +371,16 @@ class CodecDecoder(nn.Module):
         cfg = self.config
         rs = list(reversed(cfg.strides))
         dt = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+        wn = cfg.weight_norm
         dims = [cfg.channels * 2 ** (len(cfg.strides) - i - 1) for i in range(len(rs))]
-        self.stem = CausalConv(dims[0] * 2, 7, dtype=dt)
+        self.stem = CausalConv(dims[0] * 2, 7, dtype=dt, weight_norm=wn)
         self.blocks = [
             DecoderBlock(dims[i], rs[i], cfg.dilations, cfg.activation, dtype=dt,
-                         upsample_mode=cfg.upsample_mode)
+                         upsample_mode=cfg.upsample_mode, weight_norm=wn)
             for i in range(len(rs))
         ]
         self.final_act = _act(cfg.activation, dims[-1])
-        self.head = CausalConv(1, 7, dtype=dt)
+        self.head = CausalConv(1, 7, dtype=dt, weight_norm=wn)
 
     def __call__(self, z):
         """z: (B, F, latent_dim) -> (B, F*hop, 1)."""

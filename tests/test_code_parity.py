@@ -22,15 +22,22 @@ GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "rvq_codes.npy")
 
 
 def _compute_codes(use_pallas: bool):
+    import dataclasses
+
+    from task_aware_audio_coding_perceptual_tpu.models.fold import fold_weight_norm
+
     config = CodecConfig()
     model = NeuralAudioCodec(config)
     rng = np.random.default_rng(1234)
     wav = rng.standard_normal((2, config.hop * 25, 1)).astype(np.float32)
     params = model.init(jax.random.key(7), jnp.asarray(wav[:1]))
+    # deterministic-inference path: host-folded weight norm + plain convs
+    infer = NeuralAudioCodec(dataclasses.replace(config, weight_norm=False))
+    folded = fold_weight_norm(params)
     rvq_state = rvq_lib.init_rvq(
         jax.random.key(8), config.num_quantizers, config.codebook_size, config.latent_dim
     )
-    z = model.apply(params, jnp.asarray(wav), method=NeuralAudioCodec.encode)
+    z = infer.apply(folded, jnp.asarray(wav), method=NeuralAudioCodec.encode)
     return np.asarray(rvq_lib.quantize(rvq_state, z, use_pallas=use_pallas).codes)
 
 
