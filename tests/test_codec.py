@@ -145,3 +145,19 @@ def test_causality(codec_and_params):
     f_half = (T // 2) // SMALL.hop
     np.testing.assert_allclose(z1[:, :f_half], z2[:, :f_half], atol=1e-6)
     assert np.abs(z1[:, f_half:] - z2[:, f_half:]).max() > 1e-3
+
+
+def test_fold_weight_norm_matches(rng):
+    import dataclasses
+
+    from task_aware_audio_coding_perceptual_tpu.models.fold import fold_weight_norm
+
+    cfg = SMALL  # weight_norm=True by default
+    m_wn = NeuralAudioCodec(cfg)
+    m_plain = NeuralAudioCodec(dataclasses.replace(cfg, weight_norm=False))
+    wav = jnp.asarray(rng.standard_normal((2, cfg.hop * 8, 1)).astype(np.float32))
+    p = m_wn.init(jax.random.key(3), wav)
+    pf = fold_weight_norm(p)
+    z1 = m_wn.apply(p, wav, method=NeuralAudioCodec.encode)
+    z2 = m_plain.apply(pf, wav, method=NeuralAudioCodec.encode)
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z2), atol=1e-5)
