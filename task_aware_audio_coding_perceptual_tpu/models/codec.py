@@ -220,7 +220,8 @@ class ResidualUnit(nn.Module):
         return x + h
 
     def init_state(self, batch: int):
-        return (self.conv1.init_state(batch, self.dim),)
+        # unit inputs are activations in the compute dtype
+        return (self.conv1.init_state(batch, self.dim, dtype=self.dtype),)
 
     def step(self, x, state):
         h, s1 = self.conv1.step(self.act1(x), state[0])
@@ -258,7 +259,7 @@ class EncoderBlock(nn.Module):
         in_dim = self.out_dim // 2
         return (
             tuple(u.init_state(batch) for u in self.units),
-            self.down.init_state(batch, in_dim),
+            self.down.init_state(batch, in_dim, dtype=self.dtype),
         )
 
     def step(self, x, state):
@@ -302,9 +303,9 @@ class DecoderBlock(nn.Module):
 
     def init_state(self, batch: int):
         if self.upsample_mode == "subpixel":
-            up_state = self.up.init_state(batch, self.out_dim * 2)
+            up_state = self.up.init_state(batch, self.out_dim * 2, dtype=self.dtype)
         else:
-            up_state = self.up.init_state(batch)
+            up_state = self.up.init_state(batch, dtype=self.dtype)
         return (
             up_state,
             tuple(u.init_state(batch) for u in self.units),
@@ -346,11 +347,12 @@ class CodecEncoder(nn.Module):
 
     def init_state(self, batch: int):
         cfg = self.config
+        dt = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
         dims = [cfg.channels * 2 ** (i + 1) for i in range(len(cfg.strides))]
         return (
-            self.stem.init_state(batch, 1),
+            self.stem.init_state(batch, 1),  # waveform input stays f32
             tuple(b.init_state(batch) for b in self.blocks),
-            self.head.init_state(batch, dims[-1]),
+            self.head.init_state(batch, dims[-1], dtype=dt),
         )
 
     def step(self, x, state):
@@ -391,11 +393,12 @@ class CodecDecoder(nn.Module):
 
     def init_state(self, batch: int):
         cfg = self.config
+        dt = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
         dims = [cfg.channels * 2 ** (len(cfg.strides) - i - 1) for i in range(len(cfg.strides))]
         return (
-            self.stem.init_state(batch, cfg.latent_dim),
+            self.stem.init_state(batch, cfg.latent_dim),  # latents arrive f32
             tuple(b.init_state(batch) for b in self.blocks),
-            self.head.init_state(batch, dims[-1]),
+            self.head.init_state(batch, dims[-1], dtype=dt),
         )
 
     def step(self, z, state):

@@ -238,3 +238,32 @@ def test_concatenate_jae_freezes_base(rng):
     g = jax.grad(loss)(wv)
     gnorm = sum(float(jnp.sum(jnp.abs(x))) for x in jax.tree.leaves(g))
     assert gnorm > 0
+
+
+def test_concatenate_dae_and_sepae(rng):
+    base = image_ae.ResE2D2((3, 32, 32), (3, 32, 32), 16, 16)
+    o1 = jnp.asarray(rng.standard_normal((2, 3, 32, 32)).astype(np.float32))
+    o2 = jnp.asarray(rng.standard_normal((2, 3, 32, 32)).astype(np.float32))
+    bv = base.init(jax.random.key(0), o1, o2)
+
+    enc1 = lambda o: base.apply(bv, o, method=lambda m, o: m.enc1(o))
+    dec1 = lambda z: base.apply(bv, z, method=lambda m, z: m.dec1(z))
+    dec2 = lambda z: base.apply(bv, z, method=lambda m, z: m.dec2(z))
+
+    sep = image_ae.ConcatenateSepAE(enc1, dec1, dec2, z_dim=8, orig_dim=16)
+    sv = sep.init(jax.random.key(1), o1, o2)
+    out = sep.apply(sv, o1, o2)
+    assert out.obs_dec.shape == (2, 6, 32, 32)
+    assert np.isfinite(float(out.mse))
+
+    # DAE wrapper over a joint-decoder base
+    base2 = image_ae.ResE2D1((3, 32, 32), (3, 32, 32), 8, 8)
+    bv2 = base2.init(
+        {"params": jax.random.key(0), "bottleneck": jax.random.key(1)}, o1, o2
+    )
+    enc1b = lambda o: base2.apply(bv2, o, method=lambda m, o: m.enc1(o))
+    decb = lambda z: base2.apply(bv2, z, method=lambda m, z: m.dec(z))
+    dae = image_ae.ConcatenateDAE(enc1b, decb, z_dim=8, orig_dim=8)
+    dv = dae.init(jax.random.key(2), o1, o2)
+    out2 = dae.apply(dv, o1, o2)
+    assert out2.obs_dec.shape == (2, 6, 32, 32)
