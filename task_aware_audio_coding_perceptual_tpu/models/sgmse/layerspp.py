@@ -42,15 +42,23 @@ class Combine(nn.Module):
 class AttnBlockpp(nn.Module):
     """Full H*W self-attention block (reference ``layerspp.py:62-91``).
 
-    The (HW)^2 einsum runs on the MXU; softmax in f32 for stability.
+    ``use_flash=True`` routes through the Pallas online-softmax kernel
+    (``ops/attention.py``) — O(HW·C) memory instead of O((HW)^2), for
+    fullband/48 kHz frame counts. Default path: MXU einsum + f32 softmax.
     """
 
     channels: int
     skip_rescale: bool = False
     init_scale: float = 0.0
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x):
+        from task_aware_audio_coding_perceptual_tpu.ops.attention import (
+            attention_ref,
+            flash_attention,
+        )
+
         B, H, W, C = x.shape
         h = group_norm(C)(x)
         q = NIN(C)(h)
@@ -60,10 +68,11 @@ class AttnBlockpp(nn.Module):
         q = q.reshape(B, H * W, C)
         k = k.reshape(B, H * W, C)
         v = v.reshape(B, H * W, C)
-        w = jnp.einsum("bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32)
-        w = w * (int(C) ** (-0.5))
-        w = jax.nn.softmax(w.astype(jnp.float32), axis=-1).astype(x.dtype)
-        h = jnp.einsum("bqk,bkc->bqc", w, v).reshape(B, H, W, C)
+        if self.use_flash:
+            h = flash_attention(q, k, v)
+        else:
+            h = attention_ref(q, k, v)
+        h = h.reshape(B, H, W, C)
         h = NIN(C, init_scale=self.init_scale)(h)
         if not self.skip_rescale:
             return x + h

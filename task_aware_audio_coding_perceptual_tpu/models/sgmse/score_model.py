@@ -131,13 +131,17 @@ class ScoreModel:
 
     def init(self, key, spec_shape=(1, 1, 256, 256)) -> ScoreModelState:
         """spec_shape: complex (B, 1, F, T)."""
-        x = jnp.zeros(spec_shape, jnp.complex64)
-        t = jnp.ones((spec_shape[0],)) * 0.5
-        # init under jit: the axon TPU backend cannot eager-execute complex ops
-        if self.config.backbone == "ncsnpp_v2":
-            params = jax.jit(self.dnn.init)(key, x, x, t)
-        else:
-            params = jax.jit(self.dnn.init)(key, jnp.concatenate([x, x], axis=1), t)
+        # Complex arrays must be CREATED inside jit: the axon TPU relay can
+        # neither eager-execute complex ops nor transfer complex arrays
+        # host<->device (a complex jit *argument* breaks the client).
+        def _init(key):
+            x = jnp.zeros(spec_shape, jnp.complex64)
+            t = jnp.ones((spec_shape[0],)) * 0.5
+            if self.config.backbone == "ncsnpp_v2":
+                return self.dnn.init(key, x, x, t)
+            return self.dnn.init(key, jnp.concatenate([x, x], axis=1), t)
+
+        params = jax.jit(_init)(key)
         return ScoreModelState(
             params=params,
             ema_params=params,
