@@ -187,7 +187,10 @@ def get_pc_sampler(
         [timesteps[:-1] - timesteps[1:], jnp.asarray([timesteps[-1]])]
     )
 
-    def pc_sampler(key):
+    def pc_sampler(key, y=y):
+        # y may be passed at call time: jitting the sampler with the
+        # conditioner as an *argument* avoids embedding a complex constant
+        # (the axon TPU relay cannot transfer complex arrays host<->device).
         key, kp = jax.random.split(key)
         xt = sde.prior_sampling(kp, y.shape, y)
 
@@ -195,7 +198,7 @@ def get_pc_sampler(
             xt, key = carry
             t, stepsize = inp
             key, kc, kpred = jax.random.split(key, 3)
-            vec_t = jnp.ones((y.shape[0],)) * t
+            vec_t = jnp.ones((xt.shape[0],)) * t
             xt, xt_mean = corrector.update_fn(kc, xt, y, vec_t)
             xt, xt_mean = predictor.update_fn(kpred, xt, y, vec_t, stepsize)
             return (xt, key), xt_mean
@@ -225,23 +228,23 @@ def get_ode_sampler(
     predictor = ReverseDiffusionPredictor(sde, score_fn, probability_flow=False)
     n_steps = N or sde.N
 
-    def drift_fn(x, t):
-        vec_t = jnp.ones((y.shape[0],)) * t
+    def drift_fn(x, y, t):
+        vec_t = jnp.ones((x.shape[0],)) * t
         return rsde.sde(x, y, vec_t)[0]
 
     ts = jnp.linspace(sde.T, eps, n_steps + 1)
 
-    def ode_sampler(key):
+    def ode_sampler(key, y=y):
         key, kp = jax.random.split(key)
         x = sde.prior_sampling(kp, y.shape, y)
 
         def body(x, i):
             t0, t1 = ts[i], ts[i + 1]
             h = t1 - t0
-            k1 = drift_fn(x, t0)
-            k2 = drift_fn(x + 0.5 * h * k1, t0 + 0.5 * h)
-            k3 = drift_fn(x + 0.5 * h * k2, t0 + 0.5 * h)
-            k4 = drift_fn(x + h * k3, t1)
+            k1 = drift_fn(x, y, t0)
+            k2 = drift_fn(x + 0.5 * h * k1, y, t0 + 0.5 * h)
+            k3 = drift_fn(x + 0.5 * h * k2, y, t0 + 0.5 * h)
+            k4 = drift_fn(x + h * k3, y, t1)
             return x + (h / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4), None
 
         x, _ = jax.lax.scan(body, x, jnp.arange(n_steps))
@@ -308,7 +311,7 @@ def get_sb_sampler(sde, model_fn: Callable, y: jax.Array, eps: float = 1e-4, sam
         )
         return xt
 
-    def sde_sampler(key):
+    def sde_sampler(key, y=y):
         xt = y[:, [0], :, :] if y.ndim == 4 and y.shape[1] > 1 else y
 
         def step(xt, t, prev, key, is_last):
@@ -332,7 +335,7 @@ def get_sb_sampler(sde, model_fn: Callable, y: jax.Array, eps: float = 1e-4, sam
 
         return _scan(step, xt, key), sde.N
 
-    def ode_sampler(key):
+    def ode_sampler(key, y=y):
         xt = y
 
         def step(xt, t, prev, key, is_last):

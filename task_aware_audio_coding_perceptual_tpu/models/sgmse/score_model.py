@@ -375,7 +375,9 @@ class ScoreModel:
         else:
             raise ValueError(f"Invalid SDE type for speech enhancement: {sde_name}")
 
-        sample, nfe = jax.jit(sampler)(key)
+        # pass Y as an argument (not a closure constant): complex constants
+        # would require a host transfer the axon relay cannot do
+        sample, nfe = jax.jit(sampler)(key, Y)
         x_hat = self.to_audio(sample[:, 0], T_orig)
         x_hat = (x_hat * norm_factor)[0]
         x_hat = np.asarray(x_hat)
