@@ -21,12 +21,20 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_devices: Optional[int] = None, tp: int = 1, devices=None) -> Mesh:
-    """Create a (dp, tp) mesh over the first ``n_devices`` devices."""
+    """Create a (dp, tp) mesh over the first ``n_devices`` devices.
+
+    Degrades gracefully: if fewer than ``n_devices`` devices are visible, uses
+    what exists; if the device count is not divisible by ``tp``, falls back to
+    the largest divisor of the count that is <= tp (ultimately tp=1), rather
+    than asserting. This keeps the driver's single-chip environment and the
+    virtual 8-CPU test mesh on the same code path.
+    """
     devices = devices if devices is not None else jax.devices()
     if n_devices is not None:
-        devices = devices[:n_devices]
+        devices = devices[: min(n_devices, len(devices))]
     n = len(devices)
-    assert n % tp == 0, f"{n} devices not divisible by tp={tp}"
+    while tp > 1 and n % tp != 0:
+        tp -= 1
     arr = np.asarray(devices).reshape(n // tp, tp)
     return Mesh(arr, axis_names=("dp", "tp"))
 
