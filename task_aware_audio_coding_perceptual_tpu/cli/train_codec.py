@@ -3,6 +3,13 @@
 Trains the codec on a directory of wavs (or the clean side of a
 ``Specs``-layout tree), with optional MS-STFT adversarial training, data-
 parallel over all available devices.
+
+Training recipe (SoundStream/EnCodec-style, re-expressed for TPU):
+- data-driven RVQ codebook init from real encoder latents,
+- reconstruction-only warmup before the adversarial terms switch on
+  (``--warmup_steps``; gated inside one compiled graph via ``adv_scale``),
+- periodic dead-codeword reseeding from batch residuals,
+- held-out SI-SDR eval during training; best checkpoint tracked on it.
 """
 
 from __future__ import annotations
@@ -16,10 +23,29 @@ import jax.numpy as jnp
 import numpy as np
 
 from task_aware_audio_coding_perceptual_tpu.data import wav_io
-from task_aware_audio_coding_perceptual_tpu.models.codec import CodecConfig
+from task_aware_audio_coding_perceptual_tpu.metrics.sdr import si_sdr_jax
+from task_aware_audio_coding_perceptual_tpu.models import rvq as rvq_lib
+from task_aware_audio_coding_perceptual_tpu.models.codec import (
+    CodecConfig,
+    NeuralAudioCodec,
+)
 from task_aware_audio_coding_perceptual_tpu.train import codec_train, gan_train
-from task_aware_audio_coding_perceptual_tpu.train.checkpoints import CheckpointManager
+from task_aware_audio_coding_perceptual_tpu.train.checkpoints import (
+    CheckpointManager,
+    save_single,
+)
 from task_aware_audio_coding_perceptual_tpu.train.logging_utils import CSVLogger
+
+
+def _load_clip(path, T, sr, rng):
+    x, fsr = wav_io.load(str(path))
+    x = x[0]
+    if fsr != sr:
+        x = wav_io.resample(x, fsr, sr)
+    if len(x) < T:
+        x = np.pad(x, (0, T - len(x)))
+    start = int(rng.integers(0, max(len(x) - T, 1)))
+    return x[start : start + T]
 
 
 def _wav_batches(files, batch_size, seconds, sr, hop, seed=0):
@@ -40,17 +66,50 @@ def _wav_batches(files, batch_size, seconds, sr, hop, seed=0):
 
     batch = []
     for f in order:
+        batch.append(_load_clip(f, T, sr, rng))
+        if len(batch) == batch_size:
+            yield np.stack(batch)[..., None].astype(np.float32)
+            batch = []
+
+
+def preload_corpus(files, sr):
+    """Load every wav into one float32 RAM array list (single-core box:
+    per-step file IO would starve the TPU)."""
+    out = []
+    for f in files:
         x, fsr = wav_io.load(str(f))
         x = x[0]
         if fsr != sr:
             x = wav_io.resample(x, fsr, sr)
+        out.append(x.astype(np.float32))
+    return out
+
+
+def ram_batches(clips, k, batch_size, T, rng):
+    """Sample a (K, B, T, 1) super-batch of random crops from RAM."""
+    kb = k * batch_size
+    idx = rng.integers(0, len(clips), kb)
+    out = np.empty((kb, T, 1), np.float32)
+    for j, i in enumerate(idx):
+        x = clips[i]
         if len(x) < T:
             x = np.pad(x, (0, T - len(x)))
-        start = rng.integers(0, max(len(x) - T, 1))
-        batch.append(x[start : start + T])
-        if len(batch) == batch_size:
-            yield np.stack(batch)[..., None].astype(np.float32)
-            batch = []
+        start = int(rng.integers(0, max(len(x) - T, 1)))
+        out[j, :, 0] = x[start : start + T]
+    return out.reshape(k, batch_size, T, 1)
+
+
+def make_eval_fn(model: NeuralAudioCodec):
+    """Jitted full codec roundtrip -> per-item SI-SDR (dB)."""
+
+    @jax.jit
+    def eval_fn(params, rvq_state, wav):
+        z = model.apply(params, wav, method=NeuralAudioCodec.encode)
+        q = rvq_lib.quantize(rvq_state, z, use_pallas=False)
+        y = model.apply(params, q.quantized, method=NeuralAudioCodec.decode)
+        return si_sdr_jax(wav[..., 0], y[..., 0])
+
+    return eval_fn
 
 
 def main(argv=None):
@@ -67,56 +126,139 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--save_every", type=int, default=200)
+    p.add_argument("--warmup_steps", type=int, default=0,
+                   help="reconstruction-only steps before adversarial terms")
+    p.add_argument("--reseed_every", type=int, default=250,
+                   help="dead-codeword reseed interval (0 = off)")
+    p.add_argument("--eval_every", type=int, default=250)
+    p.add_argument("--eval_files", type=int, default=32,
+                   help="held-out files for SI-SDR eval")
+    p.add_argument("--resume", type=str, default=None,
+                   help="checkpoint dir to resume from")
+    p.add_argument("--steps_per_call", type=int, default=8,
+                   help="inner lax.scan steps per device call (adversarial path)")
     args = p.parse_args(argv)
 
     files = sorted(glob.glob(os.path.join(args.wav_dir, "**", "*.wav"), recursive=True))
     assert files, f"no wavs under {args.wav_dir}"
+    # hold out the tail of the (sorted) pool for eval
+    n_eval = min(args.eval_files, max(1, len(files) // 10))
+    eval_pool, files = files[-n_eval:], files[:-n_eval]
 
     config = CodecConfig(
         sample_rate=args.sample_rate, channels=args.channels,
         num_quantizers=args.num_quantizers, codebook_size=args.codebook_size,
     )
+    T_eval = int(args.seconds * args.sample_rate)
+    T_eval -= T_eval % config.hop
+    erng = np.random.default_rng(1234)
+    eval_wav = jnp.asarray(
+        np.stack([_load_clip(f, T_eval, args.sample_rate, erng) for f in eval_pool])[
+            ..., None
+        ],
+        jnp.float32,
+    )
+
     mgr = CheckpointManager(os.path.join(args.out_dir, "checkpoints"))
     logger = CSVLogger(
         os.path.join(args.out_dir, "metrics.csv"),
-        ["step", "loss", "l1", "mrstft", "mel", "commitment", "disc_loss"],
+        ["step", "loss", "l1", "mrstft", "mel", "commitment", "disc_loss",
+         "eval_si_sdr", "dead_codes"],
     )
 
     if args.adversarial:
         model, disc, state, gen_tx, disc_tx = gan_train.create_gan_state(
             config, jax.random.key(0), gen_lr=args.lr, disc_lr=args.lr
         )
-        step_fn = jax.jit(gan_train.make_gan_train_step(model, disc, gen_tx, disc_tx))
+        # NOTE: no donate_argnums — buffer donation raises InvalidArgument
+        # through the axon TPU relay
+        step_fn = jax.jit(gan_train.make_gan_train_multistep(model, disc, gen_tx, disc_tx))
+        get_params = lambda s: s.gen_params
     else:
         model, state, tx = codec_train.create_train_state(config, jax.random.key(0), args.lr)
-        step_fn = jax.jit(codec_train.make_train_step(model, tx))
+        base_step = jax.jit(codec_train.make_train_step(model, tx))
+        step_fn = lambda s, w, adv_scale: base_step(s, w)
+        get_params = lambda s: s.params
 
-    steps = 0
+    start_step = 0
+    if args.resume:
+        rmgr = CheckpointManager(args.resume)
+        latest = rmgr.latest_step()
+        if latest is not None:
+            state = rmgr.restore(state, step=latest)
+            start_step = int(latest)
+            print(f"resumed from {args.resume} at step {start_step}")
+        rmgr.close()
+
+    # data-driven RVQ init: sample a real batch, seed codebooks from latents
+    if start_step == 0:
+        seed_wav = next(_wav_batches(files, min(args.batch_size, 16), args.seconds,
+                                     args.sample_rate, config.hop, seed=9))
+        z0 = jax.jit(
+            lambda p, w: model.apply(p, w, method=NeuralAudioCodec.encode)
+        )(get_params(state), jnp.asarray(seed_wav))
+        rvq0 = rvq_lib.init_rvq_from_latents(
+            jax.random.key(7), z0, config.num_quantizers, config.codebook_size
+        )
+        state = state.replace(rvq=rvq0)
+
+    eval_fn = make_eval_fn(model)
+    reseed_fn = jax.jit(rvq_lib.reseed_dead_codes)
+    encode_fn = jax.jit(lambda p, w: model.apply(p, w, method=NeuralAudioCodec.encode))
+
+    if not args.adversarial:
+        # non-GAN path keeps the simple per-step loop
+        args.steps_per_call = 1
+    K = max(1, args.steps_per_call)
+    clips = preload_corpus(files, args.sample_rate)
+    T = int(args.seconds * args.sample_rate)
+    T -= T % config.hop
+    brng = np.random.default_rng(start_step + 17)
+
+    best_si_sdr = -np.inf
+    dead_last = 0
+    steps = start_step
+    # round logging/eval intervals to the super-batch granularity
     while steps < args.steps:
-        for wav in _wav_batches(
-            files, args.batch_size, args.seconds, args.sample_rate, config.hop, seed=steps
-        ):
-            state, m = step_fn(state, jnp.asarray(wav))
-            steps += 1
-            if steps % 50 == 0:
-                loss_key = "gen_loss" if args.adversarial else "loss"
-                logger.log(
-                    step=steps,
-                    loss=float(m[loss_key]),
-                    l1=float(m["l1"]),
-                    mrstft=float(m["mrstft"]),
-                    mel=float(m["mel"]),
-                    commitment=float(m.get("commitment", 0.0)),
-                    disc_loss=float(m.get("disc_loss", 0.0)),
-                )
-            if steps % args.save_every == 0:
-                mgr.save(steps, state)
-            if steps >= args.steps:
-                break
+        wavs = jnp.asarray(ram_batches(clips, K, args.batch_size, T, brng))
+        adv_scale = 1.0 if steps >= args.warmup_steps else 0.0
+        if K == 1:
+            state, m = step_fn(state, wavs[0], adv_scale)
+        else:
+            state, m = step_fn(state, wavs, adv_scale)
+        steps += K
+
+        if args.reseed_every and steps % args.reseed_every < K:
+            z = encode_fn(get_params(state), wavs[-1])
+            new_rvq, dead = reseed_fn(state.rvq, jax.random.key(steps), z)
+            state = state.replace(rvq=new_rvq)
+            dead_last = int(jnp.sum(dead))
+
+        if steps % 50 < K or steps % args.eval_every < K:
+            ev = np.nan
+            if steps % args.eval_every < K:
+                ev = float(jnp.mean(eval_fn(get_params(state), state.rvq, eval_wav)))
+                if ev > best_si_sdr:
+                    best_si_sdr = ev
+                    save_single(os.path.join(args.out_dir, "best"), state)
+            loss_key = "gen_loss" if args.adversarial else "loss"
+            logger.log(
+                step=steps,
+                loss=float(m[loss_key]),
+                l1=float(m["l1"]),
+                mrstft=float(m["mrstft"]),
+                mel=float(m["mel"]),
+                commitment=float(m.get("commitment", 0.0)),
+                disc_loss=float(m.get("disc_loss", 0.0)),
+                eval_si_sdr=ev,
+                dead_codes=dead_last,
+            )
+        if steps % args.save_every < K:
+            mgr.save(steps, state)
     mgr.save(steps, state)
     logger.close()
     mgr.close()
-    print(f"trained {steps} steps -> {args.out_dir}")
+    print(f"trained {steps} steps -> {args.out_dir}; best eval SI-SDR {best_si_sdr:.2f} dB")
 
 
 if __name__ == "__main__":

@@ -192,3 +192,51 @@ def ema_update(
         ema_count=jnp.stack(new_count),
         ema_sum=jnp.stack(new_sum),
     )
+
+
+def reseed_dead_codes(
+    state: RvqState,
+    key: jax.Array,
+    latents: jax.Array,
+    threshold: float = 0.03,
+) -> tuple[RvqState, jax.Array]:
+    """Replace codewords whose EMA usage fell below ``threshold`` with random
+    residual vectors from the current batch (SoundStream §3.2-style expiry).
+
+    Without this, mis-initialized or early-collapsed codewords never recover
+    — the EMA pulls them nowhere because nothing selects them. Jit-safe
+    (fixed shapes; a boolean mask selects which rows are swapped).
+
+    Returns (new_state, dead_count_per_level).
+    """
+    L, K, D = state.codebooks.shape
+    x = jax.lax.stop_gradient(latents.reshape(-1, D).astype(jnp.float32))
+
+    new_cb, new_count, new_sum, dead_counts = [], [], [], []
+    residual = x
+    for level in range(L):
+        key, kidx = jax.random.split(key)
+        dead = state.ema_count[level] < threshold  # (K,)
+        idx = jax.random.randint(kidx, (K,), 0, x.shape[0])
+        candidates = residual[idx]  # (K, D)
+        cb = jnp.where(dead[:, None], candidates.astype(state.codebooks.dtype),
+                       state.codebooks[level])
+        # reset EMA stats for reseeded rows so they adapt quickly
+        count = jnp.where(dead, jnp.ones_like(state.ema_count[level]),
+                          state.ema_count[level])
+        ssum = jnp.where(dead[:, None], candidates, state.ema_sum[level])
+        new_cb.append(cb)
+        new_count.append(count)
+        new_sum.append(ssum)
+        dead_counts.append(jnp.sum(dead))
+        _, q, _ = nearest_codebook_ref(residual, state.codebooks[level])
+        residual = residual - q
+
+    return (
+        RvqState(
+            codebooks=jnp.stack(new_cb),
+            ema_count=jnp.stack(new_count),
+            ema_sum=jnp.stack(new_sum),
+        ),
+        jnp.stack(dead_counts),
+    )

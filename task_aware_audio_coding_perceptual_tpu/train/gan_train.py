@@ -47,9 +47,10 @@ def create_gan_state(
     disc_filters: int = 8,
     gen_lr: float = 3e-4,
     disc_lr: float = 3e-4,
+    disc_kwargs: dict | None = None,
 ):
     model = NeuralAudioCodec(config)
-    disc = MultiScaleSTFTDiscriminator(filters=disc_filters)
+    disc = MultiScaleSTFTDiscriminator(filters=disc_filters, **(disc_kwargs or {}))
     k1, k2, k3 = jax.random.split(key, 3)
     gen_params = model.init(k1, jnp.zeros((1, config.hop * 2, 1)))
     disc_params = disc.init(k2, jnp.zeros((1, 1, 4096)))
@@ -84,8 +85,9 @@ def make_gan_train_step(
     ema_decay: float = 0.99,
     use_pallas: bool = True,
 ):
-    def gan_train_step(state: GanTrainState, wav: jax.Array):
-        """wav: (B, T, 1)."""
+    def gan_train_step(state: GanTrainState, wav: jax.Array, adv_scale=1.0):
+        """wav: (B, T, 1). ``adv_scale`` gates the adversarial terms (0 during
+        a reconstruction-only warmup; disc grads are zeroed too)."""
         wav_bct = jnp.transpose(wav, (0, 2, 1))  # (B, 1, T) for the disc
 
         def gen_loss_fn(gen_params):
@@ -111,8 +113,7 @@ def make_gan_train_step(
                 + weights.mrstft * mrstft
                 + weights.mel * mel
                 + weights.commitment * q.commitment_loss
-                + gan_weights.adv * adv
-                + gan_weights.feat * feat
+                + adv_scale * (gan_weights.adv * adv + gan_weights.feat * feat)
             )
             aux = {
                 "gen_loss": loss,
@@ -139,7 +140,9 @@ def make_gan_train_step(
         def disc_loss_fn(disc_params):
             logits_real, _ = disc.apply(disc_params, wav_bct)
             logits_fake, _ = disc.apply(disc_params, recon)
-            return adversarial.discriminator_hinge_loss(logits_real, logits_fake)
+            return adv_scale * adversarial.discriminator_hinge_loss(
+                logits_real, logits_fake
+            )
 
         disc_loss, disc_grads = jax.value_and_grad(disc_loss_fn)(state.disc_params)
         disc_updates, new_disc_opt = disc_tx.update(
@@ -156,6 +159,7 @@ def make_gan_train_step(
             "mel": aux["mel"],
             "adv": aux["adv"],
             "feat": aux["feat"],
+            "commitment": aux["commitment"],
         }
         return (
             GanTrainState(
@@ -170,3 +174,25 @@ def make_gan_train_step(
         )
 
     return gan_train_step
+
+
+def make_gan_train_multistep(*args, **kwargs):
+    """K GAN steps per device call via ``lax.scan`` — amortizes host->device
+    dispatch overhead (the axon relay costs ~40-50 ms per call, which would
+    otherwise dominate small-model training throughput).
+
+    The returned fn takes ``(state, wavs, adv_scale)`` with wavs of shape
+    (K, B, T, 1) and returns ``(state, metrics)`` where each metric is the
+    mean over the K inner steps.
+    """
+    step = make_gan_train_step(*args, **kwargs)
+
+    def multistep(state: GanTrainState, wavs: jax.Array, adv_scale=1.0):
+        def body(s, w):
+            s2, m = step(s, w, adv_scale)
+            return s2, m
+
+        state, ms = jax.lax.scan(body, state, wavs)
+        return state, jax.tree.map(lambda x: jnp.mean(x, axis=0), ms)
+
+    return multistep

@@ -161,3 +161,75 @@ def test_fold_weight_norm_matches(rng):
     z1 = m_wn.apply(p, wav, method=NeuralAudioCodec.encode)
     z2 = m_plain.apply(pf, wav, method=NeuralAudioCodec.encode)
     np.testing.assert_allclose(np.asarray(z1), np.asarray(z2), atol=1e-5)
+
+
+def test_rvq_reseed_dead_codes(rng):
+    """Codewords with EMA count below threshold are replaced by batch
+    residuals and their EMA stats reset; live codewords are untouched."""
+    from task_aware_audio_coding_perceptual_tpu.models import rvq as rvq_lib
+
+    state = rvq_lib.init_rvq(jax.random.key(0), 2, 16, 4)
+    # mark half of level-0 codes dead
+    counts = state.ema_count.at[0, :8].set(0.001)
+    state = state.replace(ema_count=counts)
+    latents = jnp.asarray(rng.standard_normal((64, 4)).astype(np.float32))
+
+    new_state, dead = rvq_lib.reseed_dead_codes(state, jax.random.key(1), latents)
+    assert int(dead[0]) == 8 and int(dead[1]) == 0
+    # dead rows changed, live rows identical
+    assert not np.allclose(np.asarray(new_state.codebooks[0, :8]),
+                           np.asarray(state.codebooks[0, :8]))
+    np.testing.assert_array_equal(np.asarray(new_state.codebooks[0, 8:]),
+                                  np.asarray(state.codebooks[0, 8:]))
+    np.testing.assert_array_equal(np.asarray(new_state.codebooks[1]),
+                                  np.asarray(state.codebooks[1]))
+    # reseeded EMA count reset to 1
+    assert np.all(np.asarray(new_state.ema_count[0, :8]) == 1.0)
+
+
+def test_gan_multistep_matches_sequential(rng):
+    """K scanned GAN steps == K sequential calls of the per-step fn."""
+    from task_aware_audio_coding_perceptual_tpu.models.codec import CodecConfig
+    from task_aware_audio_coding_perceptual_tpu.train import gan_train
+
+    config = CodecConfig(channels=4, latent_dim=8, strides=(2, 4),
+                         num_quantizers=2, codebook_size=32)
+    small = dict(n_ffts=(64,), hop_lengths=(16,), win_lengths=(64,))
+    model, disc, state, gtx, dtx = gan_train.create_gan_state(
+        config, jax.random.key(0), disc_filters=4, disc_kwargs=small)
+    wavs = jnp.asarray(rng.standard_normal((2, 2, config.hop * 16, 1)).astype(np.float32))
+
+    step = jax.jit(gan_train.make_gan_train_step(model, disc, gtx, dtx, use_pallas=False))
+    s_seq = state
+    for k in range(2):
+        s_seq, _ = step(s_seq, wavs[k], 1.0)
+
+    multi = jax.jit(gan_train.make_gan_train_multistep(model, disc, gtx, dtx,
+                                                       use_pallas=False))
+    s_multi, m = multi(state, wavs, 1.0)
+    assert int(s_multi.step) == int(s_seq.step) == 2
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(s_multi.gen_params)[0]),
+        np.asarray(jax.tree.leaves(s_seq.gen_params)[0]), rtol=2e-5, atol=2e-6)
+
+
+def test_adv_scale_zero_freezes_disc(rng):
+    """adv_scale=0 (warmup): disc params don't move, gen still trains."""
+    from task_aware_audio_coding_perceptual_tpu.models.codec import CodecConfig
+    from task_aware_audio_coding_perceptual_tpu.train import gan_train
+
+    config = CodecConfig(channels=4, latent_dim=8, strides=(2, 4),
+                         num_quantizers=2, codebook_size=32)
+    small = dict(n_ffts=(64,), hop_lengths=(16,), win_lengths=(64,))
+    model, disc, state, gtx, dtx = gan_train.create_gan_state(
+        config, jax.random.key(0), disc_filters=4, disc_kwargs=small)
+    wav = jnp.asarray(rng.standard_normal((2, config.hop * 16, 1)).astype(np.float32))
+    step = jax.jit(gan_train.make_gan_train_step(model, disc, gtx, dtx, use_pallas=False))
+    new_state, _ = step(state, wav, 0.0)
+    for a, b in zip(jax.tree.leaves(state.disc_params),
+                    jax.tree.leaves(new_state.disc_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    moved = [not np.allclose(np.asarray(a), np.asarray(b))
+             for a, b in zip(jax.tree.leaves(state.gen_params),
+                             jax.tree.leaves(new_state.gen_params))]
+    assert any(moved)

@@ -140,3 +140,19 @@ def test_rir_properties():
     assert np.abs(rir).max() == 1.0
     drr = synth.direct_to_reverberant_ratio(rir, 16000)
     assert np.isfinite(drr)
+
+
+def test_speech_synth_deterministic_and_speechlike():
+    import numpy as np
+    from task_aware_audio_coding_perceptual_tpu.data.speech_synth import (
+        synthesize_utterance,
+    )
+
+    w1 = synthesize_utterance(np.random.default_rng(5), duration=2.0, sr=16000)
+    w2 = synthesize_utterance(np.random.default_rng(5), duration=2.0, sr=16000)
+    np.testing.assert_array_equal(w1, w2)  # seeded determinism
+    assert w1.shape == (32000,)
+    assert 0.2 < np.abs(w1).max() <= 1.0
+    # utterances are non-stationary: loud and quiet frames coexist
+    frame = np.sqrt(np.mean(w1.reshape(-1, 400) ** 2, axis=1))
+    assert frame.max() > 3 * max(frame.min(), 1e-6)

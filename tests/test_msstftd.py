@@ -7,6 +7,7 @@ Mirrors the reference's commented smoke test (``msstftd.py:195-214``):
 import numpy as np
 
 import jax
+import pytest
 import jax.numpy as jnp
 
 from task_aware_audio_coding_perceptual_tpu.losses import adversarial
@@ -17,9 +18,15 @@ from task_aware_audio_coding_perceptual_tpu.models.msstftd import (
 from task_aware_audio_coding_perceptual_tpu.train import gan_train
 
 
+# small FFT scales for fast CPU tests; the default (1024, 2048, 512) scales
+# are exercised by the slow-marked full-size test below
+_SMALL = dict(n_ffts=(128, 256, 64), hop_lengths=(32, 64, 16),
+              win_lengths=(128, 256, 64))
+
+
 def test_discriminator_shapes(rng):
-    disc = MultiScaleSTFTDiscriminator(filters=32)
-    y = jnp.asarray(rng.standard_normal((2, 1, 24000)).astype(np.float32))
+    disc = MultiScaleSTFTDiscriminator(filters=32, **_SMALL)
+    y = jnp.asarray(rng.standard_normal((2, 1, 3000)).astype(np.float32))
     variables = disc.init(jax.random.key(0), y)
     logits, fmaps = disc.apply(variables, y)
 
@@ -31,9 +38,9 @@ def test_discriminator_shapes(rng):
 
 
 def test_adversarial_losses(rng):
-    disc = MultiScaleSTFTDiscriminator(filters=8)
-    y = jnp.asarray(rng.standard_normal((1, 1, 8000)).astype(np.float32))
-    y_hat = jnp.asarray(rng.standard_normal((1, 1, 8000)).astype(np.float32))
+    disc = MultiScaleSTFTDiscriminator(filters=8, **_SMALL)
+    y = jnp.asarray(rng.standard_normal((1, 1, 2000)).astype(np.float32))
+    y_hat = jnp.asarray(rng.standard_normal((1, 1, 2000)).astype(np.float32))
     variables = disc.init(jax.random.key(0), y)
     lr, fr = disc.apply(variables, y)
     lf, ff = disc.apply(variables, y_hat)
@@ -48,18 +55,30 @@ def test_adversarial_losses(rng):
     assert float(adversarial.feature_matching_loss(fr, fr)) == 0.0
 
 
+@pytest.mark.slow
+def test_discriminator_shapes_fullsize(rng):
+    """Reference-default STFT scales (msstftd.py:174-175 parity smoke)."""
+    disc = MultiScaleSTFTDiscriminator(filters=32)
+    y = jnp.asarray(rng.standard_normal((2, 1, 24000)).astype(np.float32))
+    variables = disc.init(jax.random.key(0), y)
+    logits, fmaps = disc.apply(variables, y)
+    assert len(logits) == len(fmaps) == disc.num_discriminators == 3
+    assert all(len(fm) == 5 for fm in fmaps)
+    assert all(f.shape[0] == 2 and f.shape[-1] == 32 for fm in fmaps for f in fm)
+
+
 def test_gan_train_step_runs(rng):
     config = CodecConfig(
         channels=4, latent_dim=8, strides=(2, 4), num_quantizers=2, codebook_size=32
     )
     model, disc, state, gen_tx, disc_tx = gan_train.create_gan_state(
-        config, jax.random.key(0), disc_filters=4
+        config, jax.random.key(0), disc_filters=4, disc_kwargs=_SMALL
     )
     step = jax.jit(
         gan_train.make_gan_train_step(model, disc, gen_tx, disc_tx, use_pallas=False)
     )
-    # must exceed the largest discriminator n_fft (2048, center=False)
-    wav = jnp.asarray(rng.standard_normal((2, config.hop * 512, 1)).astype(np.float32))
+    # must exceed the largest discriminator n_fft (256 here, center=False)
+    wav = jnp.asarray(rng.standard_normal((2, config.hop * 64, 1)).astype(np.float32))
     new_state, metrics = step(state, wav)
     assert int(new_state.step) == 1
     for k in ("gen_loss", "disc_loss", "adv", "feat"):
