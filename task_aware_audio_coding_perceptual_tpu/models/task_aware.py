@@ -78,25 +78,71 @@ class FrozenCTCProxy(nn.Module):
 
 def make_asr_head(
     pretrained_name: Optional[str] = None,
+    hf_config: Optional[dict] = None,
     vocab_size: int = 32,
     seed: int = 0,
     example_len: int = 16000,
 ) -> Tuple[Callable, object]:
-    """Return (apply_fn(wav_B_T) -> logits, params) for a frozen ASR head."""
-    if pretrained_name is not None:
-        try:  # pragma: no cover - requires network/weights
-            from transformers import FlaxWav2Vec2ForCTC
+    """Return (apply_fn(wav_B_T) -> logits, params) for a frozen ASR head.
 
-            model = FlaxWav2Vec2ForCTC.from_pretrained(pretrained_name)
-            return (lambda wav: model(wav).logits), model.params
-        except Exception:
-            pass  # fall through to the proxy
+    Three head sources, by fidelity (reference uses
+    ``Wav2Vec2ForCTC.from_pretrained("facebook/wav2vec2-large-960h-lv60-self")``,
+    ``train_pkl_file_task_aware.py:252-259``):
+
+    - ``pretrained_name``: real HF Flax checkpoint (needs weights on disk or
+      network access).
+    - ``hf_config``: a real ``FlaxWav2Vec2ForCTC`` built *from config* —
+      correct architecture, random (frozen) weights; works fully offline.
+      Pass ``{}`` for a small default config.
+    - neither: :class:`FrozenCTCProxy` (lightweight conv CTC stand-in).
+    """
+    if pretrained_name is not None:
+        from transformers import FlaxWav2Vec2ForCTC
+
+        model = FlaxWav2Vec2ForCTC.from_pretrained(pretrained_name)
+        params = jax.lax.stop_gradient(model.params)
+        return (lambda wav: model(wav, params=params).logits), params
+    if hf_config is not None:
+        model = build_wav2vec2_ctc_from_config(hf_config, seed=seed)
+        params = jax.lax.stop_gradient(model.params)
+        return (lambda wav: model(wav, params=params).logits), params
     proxy = FrozenCTCProxy(vocab_size=vocab_size)
     params = jax.jit(proxy.init)(
         jax.random.key(seed), jnp.zeros((1, example_len), jnp.float32)
     )
     params = jax.lax.stop_gradient(params)
     return (lambda wav: proxy.apply(params, wav)), params
+
+
+# small-but-real default Wav2Vec2 config for offline from-config construction
+# (full facebook/wav2vec2-large-960h-lv60-self hyperparams are not practical
+# on a test box; architecture/graph shape is identical).
+_DEFAULT_W2V2_CONFIG = dict(
+    hidden_size=48,
+    num_hidden_layers=2,
+    num_attention_heads=2,
+    intermediate_size=96,
+    conv_dim=(24, 24, 24, 24, 24, 24, 24),
+    num_conv_pos_embeddings=16,
+    num_conv_pos_embedding_groups=4,
+    vocab_size=32,
+    do_stable_layer_norm=True,
+    feat_extract_norm="layer",
+)
+
+
+def build_wav2vec2_ctc_from_config(overrides: Optional[dict] = None, seed: int = 0):
+    """Construct ``FlaxWav2Vec2ForCTC`` offline from a config (no download).
+
+    Makes the HF path testable without weights: transformers builds the full
+    Flax graph from ``Wav2Vec2Config`` with seeded random init.
+    """
+    from transformers import FlaxWav2Vec2ForCTC, Wav2Vec2Config
+
+    cfg_kwargs = dict(_DEFAULT_W2V2_CONFIG)
+    cfg_kwargs.update(overrides or {})
+    config = Wav2Vec2Config(**cfg_kwargs)
+    return FlaxWav2Vec2ForCTC(config, input_shape=(1, 4000), seed=seed)
 
 
 def _linear_interp_to(x: jax.Array, size: int) -> jax.Array:

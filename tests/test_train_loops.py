@@ -147,3 +147,33 @@ def test_task_aware_in_training_loop(tiny_dataset, tmp_path):
 
     rows = list(csvmod.DictReader(open(csv_path)))
     assert rows and rows[0]["task_mse"] != ""
+
+
+def test_task_aware_asr_loss_real_wav2vec2(rng):
+    """VERDICT item 4a: a real (from-config, offline) FlaxWav2Vec2ForCTC as
+    the frozen head, with gradients flowing into the decoded spectrograms
+    (reference head: train_pkl_file_task_aware.py:252-259)."""
+    B, F, T = 1, 65, 12
+    decoded = jnp.asarray(rng.standard_normal((B, 2, F, T)).astype(np.float32))
+    clean = {
+        "magnitude": jnp.asarray(np.abs(rng.standard_normal((B, F, T))).astype(np.float32)),
+        "phase": jnp.asarray(rng.standard_normal((B, F, T)).astype(np.float32)),
+    }
+    asr_apply, params = task_aware.make_asr_head(
+        hf_config=dict(hidden_size=32, num_hidden_layers=1, intermediate_size=64,
+                       conv_dim=(16,) * 7))
+    # it's a genuine transformers Flax model tree
+    assert "wav2vec2" in params and "lm_head" in params
+
+    disc = MultiScaleSTFTDiscriminator(
+        filters=4, n_ffts=(256,), hop_lengths=(64,), win_lengths=(256,))
+    dp = disc.init(jax.random.key(0), jnp.zeros((1, 1, 8000)))
+
+    def f(decoded):
+        m, d = task_aware.TaskAwareASRLoss(asr_apply, disc, dp, detached=False)(
+            decoded, clean)
+        return m + d
+
+    val, g = jax.value_and_grad(f)(decoded)
+    assert np.isfinite(float(val))
+    assert float(jnp.abs(g).max()) > 0.0
