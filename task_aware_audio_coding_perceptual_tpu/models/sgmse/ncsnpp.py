@@ -64,6 +64,8 @@ class NCSNppBase(nn.Module):
     centered: bool = True
     num_channels: int = 4  # x.real, x.imag, y.real, y.imag
     out_channels: int = 2
+    # None = auto: Pallas flash attention on TPU, einsum reference elsewhere
+    use_flash: "bool | None" = None
 
     @nn.compact
     def __call__(self, x4: jax.Array, time_cond: jax.Array, train: bool = False):
@@ -87,8 +89,12 @@ class NCSNppBase(nn.Module):
             ResBlock = functools.partial(
                 ResBlock, fir=self.fir, fir_kernel=self.fir_kernel
             )
+        use_flash = (
+            jax.default_backend() == "tpu" if self.use_flash is None else self.use_flash
+        )
         Attn = functools.partial(
-            layerspp.AttnBlockpp, init_scale=self.init_scale, skip_rescale=self.skip_rescale
+            layerspp.AttnBlockpp, init_scale=self.init_scale,
+            skip_rescale=self.skip_rescale, use_flash=use_flash,
         )
 
         # --- time embedding ---
@@ -247,6 +253,7 @@ class NCSNpp(nn.Module):
     centered: bool = True
     scale_by_sigma: bool = True
     dropout: float = 0.0
+    use_flash: "bool | None" = None
 
     @nn.compact
     def __call__(self, x: jax.Array, time_cond: jax.Array, train: bool = False):
@@ -260,6 +267,7 @@ class NCSNpp(nn.Module):
             scale_by_sigma=self.scale_by_sigma,
             sigma_scale_before_output=True,
             dropout=self.dropout,
+            use_flash=self.use_flash,
         )(x4, time_cond, train)
         return _channels_to_complex(h)
 
@@ -274,6 +282,7 @@ class NCSNpp_v2(nn.Module):
     num_res_blocks: int = 2
     attn_resolutions: Tuple[int, ...] = (16,)
     dropout: float = 0.0
+    use_flash: "bool | None" = None
 
     @nn.compact
     def __call__(self, x: jax.Array, y: jax.Array, t: jax.Array, train: bool = False):
@@ -285,6 +294,7 @@ class NCSNpp_v2(nn.Module):
             attn_resolutions=self.attn_resolutions,
             scale_by_sigma=False,
             dropout=self.dropout,
+            use_flash=self.use_flash,
         )(x4, t, train)
         return _channels_to_complex(h)
 

@@ -43,3 +43,27 @@ def test_flash_softmax_extremes(rng):
     got = flash_attention(q, k, v, block_q=16, block_k=16)
     assert np.isfinite(np.asarray(got)).all()
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-3, atol=1e-4)
+
+
+def test_ncsnpp_flash_attention_parity():
+    """use_flash routed through NCSNppBase (VERDICT missing #6): same network,
+    flash vs reference attention, identical scores at a (16 x T) attn shape."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from task_aware_audio_coding_perceptual_tpu.models.sgmse.ncsnpp import NCSNpp
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 2, 32, 48)) +
+                    1j * rng.standard_normal((1, 2, 32, 48)), jnp.complex64)
+    t = jnp.full((1,), 0.7)
+    # 32 -> attn at level 1 (freq resolution 16, time 24)
+    m_ref = NCSNpp(nf=8, ch_mult=(1, 2), num_res_blocks=1,
+                   attn_resolutions=(16,), use_flash=False)
+    m_flash = NCSNpp(nf=8, ch_mult=(1, 2), num_res_blocks=1,
+                     attn_resolutions=(16,), use_flash=True)
+    params = m_ref.init(jax.random.key(0), x, t)
+    out_ref = m_ref.apply(params, x, t)
+    out_flash = m_flash.apply(params, x, t)
+    np.testing.assert_allclose(np.asarray(out_flash), np.asarray(out_ref),
+                               rtol=2e-4, atol=2e-5)
