@@ -1,6 +1,11 @@
 """Cross-backend RVQ code parity check: run on any backend (TPU/CPU) and
 compare against the committed CPU golden codes.
 
+Goes through the public deterministic-inference API
+(``models.deterministic.DeterministicCodec``) with NO script-level precision
+overrides — precision pinning, weight-norm folding, and RVQ tie-breaking all
+live inside the API (north-star "bit-identical codes"; round-1 VERDICT #7).
+
     python scripts/check_code_parity.py
 """
 
@@ -12,12 +17,6 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax  # noqa: E402
-
-# Deterministic-encode mode: with HIGHEST matmul precision the encoder's
-# conv arithmetic (and hence every RVQ code index) is bit-identical between
-# CPU and TPU. Default TPU f32 conv passes give ~89% code match only.
-jax.config.update("jax_default_matmul_precision", "highest")
-
 import jax.numpy as jnp  # noqa: E402
 
 from task_aware_audio_coding_perceptual_tpu.models import rvq as rvq_lib  # noqa: E402
@@ -25,36 +24,24 @@ from task_aware_audio_coding_perceptual_tpu.models.codec import (  # noqa: E402
     CodecConfig,
     NeuralAudioCodec,
 )
+from task_aware_audio_coding_perceptual_tpu.models.deterministic import (  # noqa: E402
+    DeterministicCodec,
+)
 
 
 def main():
-    import dataclasses
-
-    from task_aware_audio_coding_perceptual_tpu.models.fold import fold_weight_norm
-
-    golden = np.load(os.path.join(os.path.dirname(__file__), "..", "tests", "golden", "rvq_codes.npy"))
+    golden = np.load(os.path.join(os.path.dirname(__file__), "..", "tests", "golden", "rvq_codes_det.npy"))
     config = CodecConfig()
     model = NeuralAudioCodec(config)
     rng = np.random.default_rng(1234)
     wav = rng.standard_normal((2, config.hop * 25, 1)).astype(np.float32)
     params = jax.jit(model.init)(jax.random.key(7), jnp.asarray(wav[:1]))
-    # deterministic-inference path: fold weight norm on the host
-    infer = NeuralAudioCodec(dataclasses.replace(config, weight_norm=False))
-    params = fold_weight_norm(jax.device_get(params))
     rvq_state = rvq_lib.init_rvq(
         jax.random.key(8), config.num_quantizers, config.codebook_size, config.latent_dim
     )
 
-    @jax.jit
-    def codes_fn(params, rvq_state, wav):
-        z = infer.apply(params, wav, method=NeuralAudioCodec.encode)
-        return rvq_lib.quantize(rvq_state, z).codes
-
-    @jax.jit
-    def latents_fn(params, wav):
-        return infer.apply(params, wav, method=NeuralAudioCodec.encode)
-
-    codes = np.asarray(codes_fn(params, rvq_state, jnp.asarray(wav)))
+    det = DeterministicCodec(config, params, rvq_state)
+    codes = np.asarray(det.encode(jnp.asarray(wav)))
     match = (codes == golden).mean()
     print(f"backend={jax.default_backend()} code match vs CPU golden: {match:.4%}")
     if match == 1.0:
@@ -66,7 +53,7 @@ def main():
     # are equidistant to machine precision. Verify every mismatch is such a
     # boundary tie: the distance gap between the two chosen codewords must be
     # tiny relative to the codeword scale.
-    z = np.asarray(latents_fn(params, jnp.asarray(wav)), np.float64)  # (B, F, D)
+    z = np.asarray(det.encode_latents(jnp.asarray(wav)), np.float64)  # (B, F, D)
     cbs = np.asarray(rvq_state.codebooks, np.float64)  # (L, K, D)
     mism = np.argwhere(codes != golden)
     worst_rel = 0.0

@@ -137,6 +137,9 @@ def main(argv=None):
                    help="checkpoint dir to resume from")
     p.add_argument("--steps_per_call", type=int, default=8,
                    help="inner lax.scan steps per device call (adversarial path)")
+    p.add_argument("--w_si_sdr", type=float, default=0.1,
+                   help="weight of the clipped negative-SI-SDR loss term "
+                        "(0 disables; spectral-only losses stall SI-SDR near 0 dB)")
     args = p.parse_args(argv)
 
     files = sorted(glob.glob(os.path.join(args.wav_dir, "**", "*.wav"), recursive=True))
@@ -166,17 +169,19 @@ def main(argv=None):
          "eval_si_sdr", "dead_codes"],
     )
 
+    loss_weights = codec_train.CodecLossWeights(si_sdr=args.w_si_sdr)
     if args.adversarial:
         model, disc, state, gen_tx, disc_tx = gan_train.create_gan_state(
             config, jax.random.key(0), gen_lr=args.lr, disc_lr=args.lr
         )
         # NOTE: no donate_argnums — buffer donation raises InvalidArgument
         # through the axon TPU relay
-        step_fn = jax.jit(gan_train.make_gan_train_multistep(model, disc, gen_tx, disc_tx))
+        step_fn = jax.jit(gan_train.make_gan_train_multistep(
+            model, disc, gen_tx, disc_tx, weights=loss_weights))
         get_params = lambda s: s.gen_params
     else:
         model, state, tx = codec_train.create_train_state(config, jax.random.key(0), args.lr)
-        base_step = jax.jit(codec_train.make_train_step(model, tx))
+        base_step = jax.jit(codec_train.make_train_step(model, tx, weights=loss_weights))
         step_fn = lambda s, w, adv_scale: base_step(s, w)
         get_params = lambda s: s.params
 

@@ -90,7 +90,7 @@ def init_rvq_from_latents(
     )
 
 
-def _lookup(x_flat, codebook, use_pallas: bool):
+def _lookup(x_flat, codebook, use_pallas: bool, snap: bool = False):
     # The lookup is piecewise-constant in x and the codebooks learn via EMA
     # (not gradients), so the boundary is non-differentiable by design;
     # stop_gradient keeps the Pallas kernel out of reverse-mode autodiff.
@@ -99,7 +99,7 @@ def _lookup(x_flat, codebook, use_pallas: bool):
     if use_pallas:
         idx, quant = nearest_codebook_pallas(x_flat, codebook)
     else:
-        idx, quant, _ = nearest_codebook_ref(x_flat, codebook)
+        idx, quant, _ = nearest_codebook_ref(x_flat, codebook, snap=snap)
     return jax.lax.stop_gradient(idx), jax.lax.stop_gradient(quant)
 
 
@@ -108,12 +108,17 @@ def quantize(
     x: jax.Array,
     num_active: Optional[int] = None,
     use_pallas: bool = True,
+    deterministic_ties: bool = False,
 ) -> RvqOutput:
     """Quantize latents ``x`` of shape (..., D).
 
     Args:
         num_active: use only the first ``num_active`` quantizer levels
             (bitrate scalability, EnCodec-style). Static int.
+        deterministic_ties: snap distances to a fixed bf16 grid before the
+            argmin (reference path only) so near-tie code choices are
+            bit-identical across backends; used by
+            :class:`~..models.deterministic.DeterministicCodec`.
     """
     L = state.codebooks.shape[0]
     num_active = L if num_active is None else num_active
@@ -125,7 +130,8 @@ def quantize(
     quant_sum = jnp.zeros_like(x_flat)
     codes = []
     for level in range(num_active):  # static unroll; L is small (<=32)
-        idx, q = _lookup(residual, state.codebooks[level], use_pallas)
+        idx, q = _lookup(residual, state.codebooks[level], use_pallas,
+                         snap=deterministic_ties)
         codes.append(idx.reshape(lead))
         quant_sum = quant_sum + q
         residual = residual - q

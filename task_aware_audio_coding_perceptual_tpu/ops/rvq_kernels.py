@@ -24,13 +24,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _first_min_onehot(dist: jax.Array) -> tuple[jax.Array, jax.Array]:
+def _first_min_onehot(
+    dist: jax.Array, eps_rel: float = 0.0
+) -> tuple[jax.Array, jax.Array]:
     """(one-hot, index) of the first (lowest-index) minimum along the last
     axis. Formulated as min-over-masked-indices (no cumsum — Pallas TPU has
     no cumsum lowering), so ties deterministically break to the lowest index.
+
+    ``eps_rel > 0`` widens "tie" to within ``eps_rel × max|dist|`` of the
+    minimum (cross-backend deterministic tie-breaking; see
+    :func:`nearest_codebook_ref`).
     """
     k = dist.shape[-1]
     m = jnp.min(dist, axis=-1, keepdims=True)
+    if eps_rel:
+        m = m + eps_rel * jnp.max(jnp.abs(dist), axis=-1, keepdims=True)
     kidx = jax.lax.broadcasted_iota(jnp.int32, dist.shape, dimension=dist.ndim - 1)
     masked = jnp.where(dist <= m, kidx, k)
     idx = jnp.min(masked, axis=-1, keepdims=True)
@@ -38,10 +46,20 @@ def _first_min_onehot(dist: jax.Array) -> tuple[jax.Array, jax.Array]:
     return onehot, idx[..., 0]
 
 
-def nearest_codebook_ref(x: jax.Array, codebook: jax.Array):
+def nearest_codebook_ref(x: jax.Array, codebook: jax.Array, snap: bool = False):
     """Pure-JAX reference: returns (indices (N,), quantized (N, D), onehot).
 
     ``x``: (N, D) residuals; ``codebook``: (K, D).
+
+    ``snap=True`` breaks the argmin with an epsilon tolerance: the winner is
+    the *lowest index* whose distance is within ``1e-5 × row-scale`` of the
+    row minimum. Cross-backend transcendental rounding perturbs distances by
+    only ~1e-7 relative, so two codewords that are near-equidistant (observed
+    tie gaps ~4e-9 relative) fall inside the tolerance band on every backend
+    and resolve to the same index — this is what makes
+    ``DeterministicCodec.encode`` codes bit-identical CPU↔TPU. (A coarse
+    value-snapping grid would instead create large tie sets whose winner a
+    single boundary-straddling entry can reshuffle — measured far worse.)
     """
     x32 = x.astype(jnp.float32)
     cb32 = codebook.astype(jnp.float32)
@@ -55,7 +73,10 @@ def nearest_codebook_ref(x: jax.Array, codebook: jax.Array):
     c_sq = jnp.sum(cb32 * cb32, axis=-1)  # (K,)
     # |x|^2 is constant per row; omit it (argmin unaffected)
     dist = c_sq[None, :] - 2.0 * dots
-    onehot, idx = _first_min_onehot(dist)
+    if snap:
+        onehot, idx = _first_min_onehot(dist, eps_rel=1e-5)
+    else:
+        onehot, idx = _first_min_onehot(dist)
     idx = idx.astype(jnp.int32)
     quant = lax.dot_general(
         onehot,

@@ -40,6 +40,10 @@ class CodecLossWeights:
     mrstft: float = 1.0
     mel: float = 1.0
     commitment: float = 0.25
+    # Negative-SI-SDR term (dB). Spectral losses alone leave the waveform
+    # phase underdetermined, so time-domain SI-SDR climbs very slowly; a
+    # small direct pressure fixes that (0 keeps the legacy loss graph).
+    si_sdr: float = 0.0
 
 
 def create_train_state(
@@ -90,6 +94,12 @@ def codec_loss(
         + weights.mel * mel
         + weights.commitment * q.commitment_loss
     )
+    if weights.si_sdr:
+        from task_aware_audio_coding_perceptual_tpu.metrics.sdr import si_sdr_jax
+
+        # soft-clip so early garbage reconstructions (-40 dB) don't dominate
+        neg_si_sdr = -jnp.mean(jnp.clip(si_sdr_jax(w, w_hat), -30.0, 30.0))
+        loss = loss + weights.si_sdr * neg_si_sdr
     aux = {
         "loss": loss,
         "l1": l1,

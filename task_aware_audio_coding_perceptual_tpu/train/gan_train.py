@@ -115,6 +115,14 @@ def make_gan_train_step(
                 + weights.commitment * q.commitment_loss
                 + adv_scale * (gan_weights.adv * adv + gan_weights.feat * feat)
             )
+            if weights.si_sdr:
+                from task_aware_audio_coding_perceptual_tpu.metrics.sdr import si_sdr_jax
+
+                # direct time-domain pressure: spectral losses alone leave the
+                # phase underdetermined and SI-SDR stalls near 0 dB (round-2
+                # overfit diagnostic: +0.5 dB without vs +18.7 dB with)
+                neg = -jnp.mean(jnp.clip(si_sdr_jax(w, w_hat), -30.0, 30.0))
+                loss = loss + weights.si_sdr * neg
             aux = {
                 "gen_loss": loss,
                 "l1": l1,
