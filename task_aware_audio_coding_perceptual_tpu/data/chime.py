@@ -132,3 +132,137 @@ def process_audio_file(
         except Exception:
             continue
     return written
+
+
+def write_speechlike_spectral_corpus(
+    root: str,
+    n_train: int = 48,
+    n_test: int = 8,
+    n_mics: int = 4,
+    duration: float = 18.0,
+    sr: int = 16000,
+    snr_db=(5.0, 20.0),
+    n_fft: int = 2048,
+    hop_length: int = 512,
+    seed: int = 0,
+) -> tuple:
+    """Synthesize a correlated multi-microphone spectral-pkl corpus.
+
+    Stands in for real CHiME sessions when the corpus is unavailable: each
+    item is a speech-like synthetic utterance (``speech_synth``); every
+    "microphone" observes the same utterance with a per-mic gain, a small
+    integer sample delay, and independent noise at a random SNR — the same
+    correlated-observation structure the reference's U02–U05/CH3 arrays give
+    (``spectrogram.ipynb`` data-prep; ``SpectralDataset`` layout,
+    ``train_pkl_file_task_aware.py:31-149``).
+
+    Returns (clean_dir, noisy_dirs) matching :class:`SpectralDataset`.
+    """
+    from task_aware_audio_coding_perceptual_tpu.data import speech_synth, synth
+
+    rng = np.random.default_rng(seed)
+    clean_dir = os.path.join(root, "complex_specs_S02_P08")
+    noisy_dirs = [
+        os.path.join(root, f"complex_specs_S02_P08_U0{m+2}.CH3")
+        for m in range(n_mics)
+    ]
+    for split, n_items in (("Train", n_train), ("Test", n_test)):
+        os.makedirs(os.path.join(clean_dir, split), exist_ok=True)
+        for d in noisy_dirs:
+            os.makedirs(os.path.join(d, split), exist_ok=True)
+        for i in range(n_items):
+            # longer utterances built from 2-3 s pieces so the (F, 600)
+            # padded frame is mostly real structure, not zeros
+            pieces = []
+            total = 0
+            while total < int(duration * sr):
+                u = speech_synth.synthesize_utterance(
+                    rng, duration=float(rng.uniform(2.0, 3.0)), sr=sr
+                )
+                pieces.append(u)
+                total += len(u)
+            clean = np.concatenate(pieces)[: int(duration * sr)]
+
+            item = create_complex_spectrogram(clean, sr, n_fft, hop_length)
+            with open(
+                os.path.join(clean_dir, split, f"chunk_{i:05d}.pkl"), "wb"
+            ) as f:
+                pickle.dump(item, f)
+
+            for d in noisy_dirs:
+                delay = int(rng.integers(0, 9))
+                gain = float(rng.uniform(0.6, 1.0))
+                obs = np.roll(clean, delay) * gain
+                # pink-ish noise: cumulative-filtered white noise
+                w = rng.standard_normal(len(obs)).astype(np.float32)
+                pink = np.convolve(w, np.ones(8) / 8.0, mode="same")
+                mixed, _ = synth.mix_at_snr(
+                    obs, pink, float(rng.uniform(*snr_db))
+                )
+                noisy = create_complex_spectrogram(
+                    mixed.astype(np.float32), sr, n_fft, hop_length
+                )
+                with open(os.path.join(d, split, f"chunk_{i:05d}.pkl"), "wb") as f:
+                    pickle.dump(noisy, f)
+    return clean_dir, noisy_dirs
+
+
+def render_spectrogram_png(
+    magnitude: np.ndarray,
+    out_path: str,
+    top_db: float = 80.0,
+) -> np.ndarray:
+    """Render a magnitude spectrogram to a grayscale PNG (dB scale).
+
+    Role of the reference's spectrogram-image rendering
+    (``spectrogram.ipynb`` cell 5: magnitude -> dB image -> PNG). The
+    mapping is invertible by :func:`audio_from_spectrogram_image` up to the
+    ``top_db`` floor: pixel 255 = max magnitude, pixel 0 = ``-top_db`` dB.
+
+    Returns the uint8 image that was written (freq flipped so low
+    frequencies are at the bottom, image convention).
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.image as mpimg
+
+    mag = np.asarray(magnitude, np.float64)
+    ref = max(mag.max(), 1e-12)
+    db = 20.0 * np.log10(np.maximum(mag, 1e-12) / ref)
+    db = np.clip(db, -top_db, 0.0)
+    img = np.round((db + top_db) / top_db * 255.0).astype(np.uint8)
+    img = img[::-1]  # low freqs at the bottom
+    mpimg.imsave(out_path, img, cmap="gray", vmin=0, vmax=255)
+    return img
+
+
+def audio_from_spectrogram_image(
+    img: np.ndarray,
+    sr: int = 16000,
+    n_fft: int = 2048,
+    hop_length: int = 512,
+    top_db: float = 80.0,
+    ref_magnitude: float = 1.0,
+    n_iter: int = 48,
+) -> np.ndarray:
+    """Reconstruct audio from a rendered spectrogram image via Griffin-Lim.
+
+    Inverse of :func:`render_spectrogram_png` (reference image->audio path,
+    ``spectrogram.ipynb`` cell 5: PNG -> magnitude -> ``librosa.griffinlim``).
+    ``img`` may be uint8 grayscale (H, W) or an RGB(A) float/uint8 image read
+    back with ``matplotlib.image.imread`` (first channel used).
+    """
+    a = np.asarray(img)
+    if a.ndim == 3:
+        a = a[..., 0]
+    a = a.astype(np.float64)
+    if a.max() > 1.0 + 1e-6:  # uint8 range
+        a = a / 255.0
+    db = a * top_db - top_db
+    mag = ref_magnitude * 10.0 ** (db / 20.0)
+    mag = mag[::-1].copy()  # undo the bottom-up flip
+    wav = dsp.griffin_lim(
+        jnp.asarray(mag, jnp.float32), n_fft, hop_length, n_iter=n_iter
+    )
+    return np.asarray(wav, np.float32)

@@ -18,6 +18,7 @@ from task_aware_audio_coding_perceptual_tpu.dsp.stft import (  # noqa: F401
     overlap_add,
     stft,
     istft,
+    griffin_lim,
 )
 from task_aware_audio_coding_perceptual_tpu.dsp.spec import (  # noqa: F401
     spec_fwd,

@@ -210,3 +210,72 @@ def istft(
             pad_width = [(0, 0)] * (y.ndim - 1) + [(0, length - y.shape[-1])]
             y = jnp.pad(y, pad_width)
     return y
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_fft", "hop_length", "n_iter", "length", "momentum"),
+)
+def griffin_lim(
+    magnitude: jax.Array,
+    n_fft: int,
+    hop_length: Optional[int] = None,
+    n_iter: int = 32,
+    length: Optional[int] = None,
+    momentum: float = 0.99,
+    key: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Griffin-Lim phase reconstruction from a magnitude spectrogram.
+
+    Role of the reference's image->audio path (``spectrogram.ipynb`` cell 5:
+    spectrogram PNG -> magnitude -> ``librosa.griffinlim`` -> wav). Runs the
+    fast Griffin-Lim iteration (momentum-accelerated, Perraudin et al. 2013)
+    as a ``lax.fori_loop`` of STFT/ISTFT pairs, so the whole reconstruction
+    is one compiled TPU program.
+
+    Args:
+        magnitude: (..., freq, n_frames) non-negative magnitudes
+            (freq = n_fft//2 + 1).
+        key: PRNG key for the random phase init (zero phase if None).
+
+    Returns:
+        real signal (..., T).
+    """
+    hop_length = hop_length or n_fft // 4
+    window = hann_window(n_fft)
+
+    if key is not None:
+        phase = jax.random.uniform(
+            key, magnitude.shape, minval=-jnp.pi, maxval=jnp.pi
+        )
+        angles = jnp.exp(1j * phase).astype(jnp.complex64)
+    else:
+        angles = jnp.ones(magnitude.shape, jnp.complex64)
+
+    mag = magnitude.astype(jnp.float32)
+
+    def project(ang):
+        """mag * ang -> time -> STFT (the two Griffin-Lim projections)."""
+        y = istft(mag * ang, n_fft, hop_length, window=window, length=length)
+        s = stft(y, n_fft, hop_length, window=window)
+        # stft of a len-`length` signal can produce fewer frames than mag has;
+        # keep static shapes by padding frames back out with zeros
+        pad = mag.shape[-1] - s.shape[-1]
+        if pad > 0:
+            widths = [(0, 0)] * (s.ndim - 1) + [(0, pad)]
+            s = jnp.pad(s, widths)
+        return s[..., : mag.shape[-1]]
+
+    beta = momentum / (1.0 + momentum)
+
+    def body(_, carry):
+        angles, prev = carry
+        rebuilt = project(angles)
+        update = rebuilt - beta * prev
+        angles = update / (jnp.abs(update) + 1e-16)
+        return angles, rebuilt
+
+    angles, _ = jax.lax.fori_loop(
+        0, n_iter, body, (angles, jnp.zeros_like(angles))
+    )
+    return istft(mag * angles, n_fft, hop_length, window=window, length=length)

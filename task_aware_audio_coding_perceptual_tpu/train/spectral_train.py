@@ -64,6 +64,11 @@ class SpectralTrainConfig:
     save_every: int = 5
     out_dir: str = "./models"
     break_after_first_batch: bool = False  # train_pkl_file.py:311 parity
+    # min-max normalize items like the eval-side dataset copy does
+    # (test_pkl_file_2.py:97-110); the reference trains un-normalized, which
+    # is a train/eval distribution mismatch — keep False for strict parity,
+    # True to train on the same distribution the acceptance check sees
+    normalize: bool = False
 
 
 @flax.struct.dataclass
@@ -175,7 +180,8 @@ def train_spectral_ae(
     key = jax.random.key(cfg.seed)
     model = build_model(cfg)
     ds = SpectralDataset(
-        clean_dir, noisy_dirs, "Train", target_shape=(cfg.freq_dim, cfg.time_dim)
+        clean_dir, noisy_dirs, "Train",
+        target_shape=(cfg.freq_dim, cfg.time_dim), normalize=cfg.normalize,
     )
 
     # init

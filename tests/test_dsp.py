@@ -115,3 +115,28 @@ def test_mel_spectrogram_runs(rng):
     mel = dsp.mel_spectrogram(mag, fb)
     assert mel.shape == (2, 80, 50)
     assert np.isfinite(np.asarray(mel)).all()
+
+
+def test_griffin_lim_reconstructs_sinusoid_spectrum():
+    """Griffin-Lim recovers a phase whose STFT magnitude converges to the
+    target (reference image->audio path, spectrogram.ipynb cell 5)."""
+    import importlib
+
+    S = importlib.import_module("task_aware_audio_coding_perceptual_tpu.dsp.stft")
+    sr = 4000
+    t = np.arange(sr) / sr
+    x = (0.6 * np.sin(2 * np.pi * 220 * t) + 0.3 * np.sin(2 * np.pi * 555 * t)).astype(
+        np.float32
+    )
+    win = S.hann_window(256)
+    mag = jnp.abs(S.stft(jnp.asarray(x), 256, 64, window=win))
+    y = S.griffin_lim(mag, 256, 64, n_iter=48, length=sr)
+    assert y.shape == (sr,)
+    mag_y = np.abs(np.asarray(S.stft(y, 256, 64, window=win)))
+    sc = np.linalg.norm(mag_y - np.asarray(mag)) / np.linalg.norm(np.asarray(mag))
+    assert sc < 0.25, f"spectral convergence {sc}"
+    # sanity: zero iterations is measurably worse than 32
+    y0 = S.griffin_lim(mag, 256, 64, n_iter=0, length=sr)
+    mag_y0 = np.abs(np.asarray(S.stft(y0, 256, 64, window=win)))
+    sc0 = np.linalg.norm(mag_y0 - np.asarray(mag)) / np.linalg.norm(np.asarray(mag))
+    assert sc < sc0
