@@ -42,7 +42,7 @@ def main(argv=None):
         rows.append(
             {
                 "filename": base,
-                "pesq": M.pesq_proxy(16000, x, x_hat),
+                "pesq": M.pesq_p862(16000, x, x_hat, "wb"),
                 "estoi": M.stoi(x, x_hat, sr, extended=True),
                 "si_sdr": si_sdr_v,
                 "si_sir": si_sir,

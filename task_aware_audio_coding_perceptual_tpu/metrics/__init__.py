@@ -9,9 +9,11 @@ Covers the reference's metric surface:
 - ESTOI (extended short-time objective intelligibility) as a pure
   numpy/scipy implementation (the reference calls the ``pystoi`` package,
   which is not available in this environment),
-- PESQ: the real ``pesq`` package is used when importable; otherwise a
-  documented frequency-weighted segmental-SNR MOS proxy is exposed under a
-  separate name (``pesq_proxy``) so callers can't mistake it for ITU PESQ,
+- PESQ: the real ``pesq`` package is used when importable; ``pesq_p862`` is
+  a pure-numpy port of the P.862 perceptual model (bark loudness,
+  asymmetric disturbance, P.862.1/.2 MOS mappings — see ``pesq_p862.py``
+  for its fidelity scoping) used for offline scoring; the older
+  ``pesq_proxy`` (fwSNRseg MOS estimate) remains for cheap smoke checks,
 - a real-time-factor (RTF) benchmark harness (reference only computes RTF
   ad hoc in ``ScoreModel.enhance``, ``model.py:461-463``).
 """
@@ -33,6 +35,9 @@ from task_aware_audio_coding_perceptual_tpu.metrics.pesq_metric import (  # noqa
     pesq,
     pesq_proxy,
     HAVE_PESQ,
+)
+from task_aware_audio_coding_perceptual_tpu.metrics.pesq_p862 import (  # noqa: F401
+    pesq_p862,
 )
 from task_aware_audio_coding_perceptual_tpu.metrics.rtf import (  # noqa: F401
     measure_rtf,

@@ -1,0 +1,228 @@
+"""ITU-T P.862 (PESQ) perceptual model — pure numpy port.
+
+The reference scores enhancement with the ``pesq`` PyPI package (ITU-T
+P.862, ``sgmse/sgmse/model.py:247``, ``calc_metrics.py:42-46``) and selects
+checkpoints on it (``sgmse/train.py:92-97``). That package is absent in this
+environment, so this module ports the published P.862 algorithm structure:
+
+    level alignment -> constant-lag time alignment -> bark pitch-power
+    densities -> partial frequency compensation -> per-frame gain
+    compensation -> Zwicker loudness -> masked disturbance + asymmetric
+    disturbance -> (L2 over bark, Lp over time) aggregation -> MOS mapping
+    (P.862.1 narrowband / P.862.2 wideband logistic).
+
+Fidelity scoping (stated so nobody mistakes this for certified ITU code):
+
+- The Bark band edges/widths are computed from the standard Zwicker formula
+  ``z = 13 atan(0.00076 f) + 3.5 atan((f/7500)^2)`` with uniform spacing,
+  not ITU's tabulated values; the time alignment handles one constant lag
+  (codec/enhancer outputs are sample-aligned), not P.862's per-utterance
+  re-alignment.
+- Consequently scores track ITU PESQ closely in *ordering* and roughly in
+  scale, but are not bit-exact. Results must be logged as ``pesq_p862``.
+
+Validated in ``tests/test_metrics.py``: identity -> 4.55 ceiling, strict
+monotonicity across SNR, and frozen golden regression values.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# P.862 constants
+_FRAME_MS = 32.0
+_ZWICKER_POWER = 0.23
+_SL = 1.866055e-1  # loudness scaling (P.862 Sl, absolute scale irrelevant
+#                    after calibration; kept for structural parity)
+_TARGET_POWER = 1e7  # active-speech power both signals are normalized to
+
+
+def _bark(f: np.ndarray) -> np.ndarray:
+    return 13.0 * np.arctan(0.00076 * f) + 3.5 * np.arctan((f / 7500.0) ** 2)
+
+
+def _make_bands(fs: int, nfft: int, n_bands: int):
+    """Uniform-in-bark bands over [100 Hz, fs/2] -> (matrix, widths_bark).
+
+    P.862 uses 42 tabulated bands for 8 kHz and 49 for 16 kHz; we use the
+    same counts with Zwicker-formula edges (see module docstring).
+    """
+    freqs = np.fft.rfftfreq(nfft, 1.0 / fs)
+    z = _bark(freqs)
+    z_lo, z_hi = _bark(np.array([100.0]))[0], _bark(np.array([fs / 2.0]))[0]
+    edges = np.linspace(z_lo, z_hi, n_bands + 1)
+    mat = np.zeros((n_bands, len(freqs)))
+    for b in range(n_bands):
+        sel = (z >= edges[b]) & (z < edges[b + 1])
+        if not sel.any():  # guarantee every band owns >= 1 bin
+            sel[np.argmin(np.abs(z - 0.5 * (edges[b] + edges[b + 1])))] = True
+        mat[b, sel] = 1.0
+    widths = np.diff(edges)
+    return mat, widths
+
+
+def _frames(x: np.ndarray, frame: int, hop: int) -> np.ndarray:
+    n = (len(x) - frame) // hop + 1
+    if n < 1:
+        return np.zeros((0, frame))
+    idx = np.arange(n)[:, None] * hop + np.arange(frame)[None, :]
+    return x[idx]
+
+
+def _active_speech_power(x: np.ndarray, fs: int) -> float:
+    """Mean power over active 32 ms frames (envelope gate), band-limited to
+    the 350-3250 Hz speech band like P.862's level alignment."""
+    X = np.fft.rfft(x)
+    f = np.fft.rfftfreq(len(x), 1.0 / fs)
+    Xb = np.where((f >= 350.0) & (f <= 3250.0), X, 0.0)
+    xb = np.fft.irfft(Xb, n=len(x))
+    frame = int(_FRAME_MS / 1000 * fs)
+    fr = _frames(xb, frame, frame // 2)
+    if fr.shape[0] == 0:
+        return float(np.mean(xb**2) + 1e-20)
+    p = np.mean(fr**2, axis=1)
+    thresh = p.max() * 1e-4  # 40 dB activity gate
+    act = p[p > thresh]
+    return float(act.mean() if act.size else p.mean()) + 1e-20
+
+
+def _align_constant_lag(ref: np.ndarray, deg: np.ndarray, fs: int):
+    """Single constant-delay estimate via envelope cross-correlation
+    (stand-in for P.862's utterance-level alignment; see docstring)."""
+    frame = int(0.004 * fs)
+    n = min(len(ref), len(deg)) // frame * frame
+    er = np.abs(ref[:n]).reshape(-1, frame).mean(1)
+    ed = np.abs(deg[:n]).reshape(-1, frame).mean(1)
+    er -= er.mean()
+    ed -= ed.mean()
+    corr = np.correlate(ed, er, mode="full")
+    lag = (np.argmax(corr) - (len(er) - 1)) * frame
+    if lag > 0:
+        deg = deg[lag:]
+    elif lag < 0:
+        ref = ref[-lag:]
+    n = min(len(ref), len(deg))
+    return ref[:n], deg[:n]
+
+
+def _bark_powers(x: np.ndarray, fs: int, band_mat: np.ndarray, nfft: int):
+    frame = int(_FRAME_MS / 1000 * fs)
+    hop = frame // 2
+    w = 0.5 * (1 - np.cos(2 * np.pi * np.arange(frame) / (frame - 1)))
+    fr = _frames(x, frame, hop) * w
+    spec = np.abs(np.fft.rfft(fr, n=nfft, axis=-1)) ** 2
+    # pitch power densities: mean bin power per bark band
+    counts = band_mat.sum(1)
+    return (spec @ band_mat.T) / counts  # (frames, bands)
+
+
+def _loudness(pitch_pow: np.ndarray, p0: np.ndarray) -> np.ndarray:
+    """Zwicker loudness S_l * (p0/0.5)^g * [ (0.5 + 0.5 p/p0)^g - 1 ]."""
+    g = _ZWICKER_POWER
+    ratio = np.maximum(pitch_pow / p0, 0.0)
+    loud = _SL * (p0 / 0.5) ** g * ((0.5 + 0.5 * ratio) ** g - 1.0)
+    return np.maximum(loud, 0.0)
+
+
+def pesq_p862(fs: int, ref: np.ndarray, deg: np.ndarray, mode: str | None = None) -> float:
+    """P.862-structure PESQ MOS-LQO of ``deg`` against clean ``ref``.
+
+    ``mode``: "nb" (P.862.1 mapping) or "wb" (P.862.2); default picks nb for
+    fs<=8000 else wb, matching the reference's usage
+    (``sgmse/model.py:247``: wb at 16 kHz).
+    """
+    ref = np.asarray(ref, np.float64).reshape(-1)
+    deg = np.asarray(deg, np.float64).reshape(-1)
+    if mode is None:
+        mode = "nb" if fs <= 8000 else "wb"
+
+    # --- level alignment: both to the same active-speech power
+    ref = ref * np.sqrt(_TARGET_POWER / _active_speech_power(ref, fs))
+    deg = deg * np.sqrt(_TARGET_POWER / _active_speech_power(deg, fs))
+    ref, deg = _align_constant_lag(ref, deg, fs)
+
+    frame = int(_FRAME_MS / 1000 * fs)
+    if len(ref) < 2 * frame:
+        return 1.0
+    nfft = frame
+    n_bands = 42 if fs <= 8000 else 49
+    band_mat, widths = _make_bands(fs, nfft, n_bands)
+
+    Pr = _bark_powers(ref, fs, band_mat, nfft)  # (frames, bands)
+    Pd = _bark_powers(deg, fs, band_mat, nfft)
+    n_frames = min(Pr.shape[0], Pd.shape[0])
+    Pr, Pd = Pr[:n_frames], Pd[:n_frames]
+
+    # silent-frame gate on the reference (P.862 scores speech-active parts)
+    frame_pow = Pr.sum(1)
+    active = frame_pow > frame_pow.max() * 1e-4
+    if active.sum() < 4:
+        active = np.ones_like(active, bool)
+    Pr, Pd = Pr[active], Pd[active]
+
+    # --- partial frequency compensation of the reference towards the
+    # degraded's mean spectrum (bounded +-20 dB), P.862 sect. 10.2.4
+    mean_r = Pr.mean(0) + 1e4
+    mean_d = Pd.mean(0) + 1e4
+    band_factor = np.clip(mean_d / mean_r, 0.01, 100.0)
+    Pr_eq = Pr * band_factor[None, :]
+
+    # --- per-frame gain compensation of the degraded (bounded), 10.2.5
+    num = (Pr_eq.sum(1) + 5e5)
+    den = (Pd.sum(1) + 5e5)
+    gain = np.clip(num / den, 3e-4, 5.0)
+    # first-order smoothing along time like P.862
+    sm = np.empty_like(gain)
+    prev = 1.0
+    for i, g_ in enumerate(gain):
+        prev = 0.2 * prev + 0.8 * g_
+        sm[i] = prev
+    Pd_eq = Pd * sm[:, None]
+
+    # --- loudness domain
+    p0 = np.maximum(Pr.mean(0) * 1e-4, 1e-2)  # internal noise floor per band
+    Lr = _loudness(Pr_eq, p0)
+    Ld = _loudness(Pd_eq, p0)
+
+    # --- disturbance with masking deadzone m = 0.25*min(Lr, Ld)
+    diff = Ld - Lr
+    m = 0.25 * np.minimum(Ld, Lr)
+    D = np.where(diff > m, diff - m, np.where(diff < -m, diff + m, 0.0))
+
+    # --- asymmetry factor ((Pd+50)/(Pr+50))^1.2, <3 -> 0, >12 -> 12
+    h = ((Pd_eq + 50.0) / (Pr_eq + 50.0)) ** 1.2
+    h = np.where(h < 3.0, 0.0, np.minimum(h, 12.0))
+    DA = D * h
+
+    # --- frame disturbances: weighted L2 / L1 over bark bands
+    wb_ = widths / widths.sum()
+    d_frame = np.sqrt(np.sum((D**2) * wb_[None, :], axis=1))
+    da_frame = np.sum(np.abs(DA) * wb_[None, :], axis=1)
+
+    # emphasis on low-reference-power frames (audible errors in silence),
+    # P.862 multiplies frame disturbance by (power+1e5)^-0.04
+    emph = ((Pr.sum(1) + 1e5) / 1e7) ** -0.04
+    emph = np.minimum(emph, 5.0)
+    d_frame = np.minimum(d_frame * emph, 45.0)
+    da_frame = np.minimum(da_frame * emph, 45.0)
+
+    def _lp_time(d: np.ndarray, p_split: float, p_all: float, n_split: int = 20) -> float:
+        """L_p over n_split-frame sub-intervals, then L_p over intervals."""
+        n = len(d)
+        if n < n_split:
+            return float(np.mean(d**p_all) ** (1 / p_all))
+        k = n // n_split * n_split
+        blocks = d[:k].reshape(-1, n_split)
+        per = np.mean(blocks**p_split, axis=1) ** (1 / p_split)
+        return float(np.mean(per**p_all) ** (1 / p_all))
+
+    d_sym = _lp_time(d_frame, 6.0, 2.0)
+    d_asym = _lp_time(da_frame, 6.0, 2.0)
+
+    raw = 4.5 - 0.1 * d_sym - 0.0309 * d_asym
+    raw = float(np.clip(raw, -0.5, 4.5))
+
+    if mode == "nb":  # P.862.1 raw -> MOS-LQO
+        return float(0.999 + (4.999 - 0.999) / (1.0 + np.exp(-1.4945 * raw + 4.6607)))
+    # P.862.2 wideband mapping
+    return float(0.999 + (4.999 - 0.999) / (1.0 + np.exp(-1.3669 * raw + 3.8224)))

@@ -14,6 +14,16 @@ Constants follow the canonical implementation (fs=10kHz, 256-sample frames
 with 50% overlap zero-padded to a 512-point FFT, 15 one-third octave bands
 from 150 Hz, 384 ms analysis segments (N=30 frames), 40 dB silent-frame
 dynamic range, beta=-15 dB clipping for plain STOI).
+
+Numerical conventions deliberately match the canonical ``pystoi`` package
+(which the reference imports) so scores are comparable: exclusive-stop
+framing (a tail frame starting exactly at ``len(x)-framelen`` is dropped),
+and Octave/MATLAB-style polyphase resampling with a Kaiser-windowed sinc
+anti-aliasing filter (60 dB rejection) rather than scipy's default window.
+Validated by frozen golden regression values and metric property tests in
+``tests/test_metrics.py`` (monotonicity in SNR, scale invariance,
+identity == 1); exact pystoi cross-check is impossible offline (package
+absent), which is recorded there too.
 """
 
 from __future__ import annotations
@@ -46,10 +56,17 @@ def _thirdoct(fs: int, nfft: int, num_bands: int, min_freq: float):
     return obm, cf
 
 
+def _n_frames(sig_len: int, framelen: int, hop: int) -> int:
+    """Frame count under pystoi's exclusive-stop convention
+    (``range(0, len(x) - framelen, hop)``)."""
+    m = sig_len - framelen
+    return max(0, -(-m // hop)) if m > 0 else 0
+
+
 def _remove_silent_frames(x: np.ndarray, y: np.ndarray, dyn_range: float, framelen: int, hop: int):
     """Drop frames of x whose energy is more than dyn_range below the max."""
     w = np.hanning(framelen + 2)[1:-1]
-    n_frames = (len(x) - framelen) // hop + 1
+    n_frames = _n_frames(len(x), framelen, hop)
     if n_frames < 1:
         return x, y
     idx = np.arange(n_frames)[:, None] * hop + np.arange(framelen)[None, :]
@@ -71,17 +88,34 @@ def _remove_silent_frames(x: np.ndarray, y: np.ndarray, dyn_range: float, framel
 
 def _stft_mag(x: np.ndarray, framelen: int, hop: int, nfft: int) -> np.ndarray:
     w = np.hanning(framelen + 2)[1:-1]
-    n_frames = (len(x) - framelen) // hop + 1
+    n_frames = _n_frames(len(x), framelen, hop)
     idx = np.arange(n_frames)[:, None] * hop + np.arange(framelen)[None, :]
     frames = x[idx] * w
     return np.fft.rfft(frames, n=nfft, axis=-1)  # (n_frames, nfft//2+1)
+
+
+def _resample_window(p: int, q: int) -> np.ndarray:
+    """Kaiser-windowed sinc anti-aliasing filter (Octave/MATLAB resample
+    design, 60 dB stopband rejection) — the filter pystoi uses, so that
+    band energies after 10 kHz resampling agree numerically."""
+    rejection_db = 60.0
+    cutoff = 1.0 / (2 * max(p, q))
+    roll_off_width = cutoff / 10.0
+    half_len = int(np.ceil(rejection_db / (22.9 * roll_off_width)))
+    t = np.arange(-half_len, half_len + 1)
+    ideal = 2 * p * cutoff * np.sinc(2 * cutoff * t)
+    # Kaiser beta for >50 dB rejection (standard Kaiser design formula)
+    beta = 0.1102 * (rejection_db - 8.71)
+    return np.kaiser(2 * half_len + 1, beta) * ideal
 
 
 def _resample_to_10k(x: np.ndarray, fs: int) -> np.ndarray:
     if fs == FS:
         return x
     g = np.gcd(int(fs), FS)
-    return resample_poly(x, FS // g, fs // g)
+    p, q = FS // g, int(fs) // g
+    h = _resample_window(p, q)
+    return resample_poly(x, p, q, window=h / np.sum(h))
 
 
 def _band_envelopes(x: np.ndarray, obm: np.ndarray) -> np.ndarray:

@@ -72,7 +72,7 @@ def evaluate_enhancement(
         x0 = x[0][: len(x_hat)]
         x_hat = x_hat[: len(x0)]
         if use_proxy_pesq:
-            pesq_sum += metrics_lib.pesq_proxy(16000, x0, x_hat)
+            pesq_sum += metrics_lib.pesq_p862(16000, x0, x_hat, "wb")
         else:  # pragma: no cover
             pesq_sum += metrics_lib.pesq(16000, x0, x_hat, "wb")
         sdr_sum += metrics_lib.si_sdr(x0, x_hat)

@@ -1,6 +1,7 @@
 """Tests for the metrics suite (SI-SDR parity with the reference formula,
 ESTOI sanity, PESQ proxy monotonicity, wav IO round-trip)."""
 
+import os
 import numpy as np
 import jax.numpy as jnp
 
@@ -90,3 +91,66 @@ def test_measure_rtf():
     f = jax.jit(lambda: jnp.sum(jnp.ones((64, 64))))
     res = metrics.measure_rtf(lambda: f(), audio_seconds_per_call=1.0, warmup=1, iters=3)
     assert res.rtf > 0 and res.streams_per_chip == 1.0 / res.rtf
+
+
+def test_stoi_estoi_golden_regression():
+    """Frozen golden STOI/ESTOI values on deterministic speech+noise pairs.
+
+    pystoi itself is absent offline, so absolute cross-validation is
+    impossible here; these goldens freeze the pystoi-convention
+    implementation (exclusive-stop framing, Kaiser-sinc resampler) so any
+    numeric drift is caught, and the property block below checks the
+    metric axioms (identity=1, scale invariance, SNR monotonicity)."""
+    import importlib
+
+    S = importlib.import_module("task_aware_audio_coding_perceptual_tpu.metrics.stoi")
+    from task_aware_audio_coding_perceptual_tpu.data import speech_synth
+
+    x = speech_synth.synthesize_utterance(np.random.default_rng(42), duration=3.0, sr=16000)
+    x = x / np.max(np.abs(x))
+    noise = np.random.default_rng(7).standard_normal(len(x)).astype(np.float32)
+    noise /= np.linalg.norm(noise) / np.linalg.norm(x)
+
+    golden = np.load(os.path.join(os.path.dirname(__file__), "golden", "stoi_golden.npz"))
+    prev_s, prev_e = -1.0, -1.0
+    for snr in [-5, 0, 5, 10, 20]:
+        y = x + noise * 10 ** (-snr / 20)
+        s = S.stoi(x, y, 16000)
+        e = S.estoi(x, y, 16000)
+        np.testing.assert_allclose(s, golden[f"stoi_snr{snr}"], atol=1e-10)
+        np.testing.assert_allclose(e, golden[f"estoi_snr{snr}"], atol=1e-10)
+        assert s > prev_s and e > prev_e  # monotone in SNR
+        assert e < s  # ESTOI is the stricter metric on additive noise
+        prev_s, prev_e = s, e
+    assert abs(S.stoi(x, x, 16000) - 1.0) < 1e-9
+    assert abs(S.estoi(x, x, 16000) - 1.0) < 1e-9
+    assert abs(S.estoi(x, 0.25 * x, 16000) - 1.0) < 1e-9  # scale invariant
+
+
+def test_pesq_p862_properties_and_golden():
+    """P.862 port: identity hits the known MOS-LQO ceilings (4.64 wb /
+    4.55 nb), strict SNR monotonicity, constant-delay robustness, scale
+    invariance; frozen goldens catch numeric drift (ITU package absent
+    offline — fidelity scoping in pesq_p862.py docstring)."""
+    from task_aware_audio_coding_perceptual_tpu.data import speech_synth
+    from task_aware_audio_coding_perceptual_tpu.metrics.pesq_p862 import pesq_p862
+
+    x = speech_synth.synthesize_utterance(np.random.default_rng(42), duration=3.0, sr=16000)
+    x = x / np.max(np.abs(x))
+    noise = np.random.default_rng(7).standard_normal(len(x))
+    noise /= np.linalg.norm(noise) / np.linalg.norm(x)
+
+    golden = np.load(os.path.join(os.path.dirname(__file__), "golden", "pesq_golden.npz"))
+    assert abs(pesq_p862(16000, x, x, "wb") - 4.6439) < 2e-3
+    assert abs(pesq_p862(8000, x[::2], x[::2], "nb") - 4.5486) < 2e-3
+    prev = -1.0
+    for snr in [0, 10, 20]:
+        v = pesq_p862(16000, x, x + noise * 10 ** (-snr / 20), "wb")
+        np.testing.assert_allclose(v, golden[f"pesq_wb_snr{snr}"], atol=1e-8)
+        assert v > prev
+        prev = v
+    # robust to a constant 10 ms offset (envelope alignment)
+    delayed = np.roll(x + noise * 0.1, 160)
+    assert pesq_p862(16000, x, delayed, "wb") > 3.0
+    # level alignment makes the score gain-invariant
+    assert abs(pesq_p862(16000, x, 0.1 * x, "wb") - pesq_p862(16000, x, x, "wb")) < 1e-9
