@@ -45,7 +45,8 @@ def main():
     model = NeuralAudioCodec(config)
 
     batch = 256  # concurrent streams per call (batch is the utilization lever on v5e)
-    params = model.init(jax.random.key(0), jnp.zeros((1, config.hop * 2, 1)))
+    # jitted init: eager init dispatches per-op through the relay (minutes)
+    params = jax.jit(model.init)(jax.random.key(0), jnp.zeros((1, config.hop * 2, 1)))
     rvq_state = rvq_lib.init_rvq(
         jax.random.key(1), config.num_quantizers, config.codebook_size, config.latent_dim
     )

@@ -21,4 +21,34 @@ The short import alias ``tacp`` is provided at the repository root.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache (opt out: TACP_COMPILE_CACHE=0).
+
+    First compiles through the TPU relay take minutes (a GAN train-step scan
+    ~10 min); caching compiled executables across processes makes every
+    restart/resume pay that only once. Tests point this at their own dir via
+    ``tests/conftest.py``.
+    """
+    if _os.environ.get("TACP_COMPILE_CACHE", "1") == "0":
+        return
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir is None:
+            cache = _os.environ.get(
+                "TACP_COMPILE_CACHE_DIR",
+                _os.path.join(_os.path.expanduser("~"), ".cache", "tacp_jax"),
+            )
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # pragma: no cover - cache is an optimization only
+        pass
+
+
+_enable_compile_cache()
+
 from task_aware_audio_coding_perceptual_tpu.registry import Registry  # noqa: F401

@@ -21,6 +21,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 
 from task_aware_audio_coding_perceptual_tpu.data import wav_io
 from task_aware_audio_coding_perceptual_tpu.metrics.sdr import si_sdr_jax
@@ -140,6 +141,9 @@ def main(argv=None):
     p.add_argument("--w_si_sdr", type=float, default=0.1,
                    help="weight of the clipped negative-SI-SDR loss term "
                         "(0 disables; spectral-only losses stall SI-SDR near 0 dB)")
+    p.add_argument("--lr_decay_steps", type=int, default=0,
+                   help="cosine-decay the lr to lr/30 over this many steps "
+                        "(0 = constant lr)")
     args = p.parse_args(argv)
 
     files = sorted(glob.glob(os.path.join(args.wav_dir, "**", "*.wav"), recursive=True))
@@ -170,9 +174,15 @@ def main(argv=None):
     )
 
     loss_weights = codec_train.CodecLossWeights(si_sdr=args.w_si_sdr)
+    # optax.adam accepts a schedule wherever it accepts a float lr
+    lr = (
+        optax.cosine_decay_schedule(args.lr, args.lr_decay_steps, alpha=1 / 30)
+        if args.lr_decay_steps
+        else args.lr
+    )
     if args.adversarial:
         model, disc, state, gen_tx, disc_tx = gan_train.create_gan_state(
-            config, jax.random.key(0), gen_lr=args.lr, disc_lr=args.lr
+            config, jax.random.key(0), gen_lr=lr, disc_lr=lr
         )
         # NOTE: no donate_argnums — buffer donation raises InvalidArgument
         # through the axon TPU relay

@@ -53,7 +53,9 @@ def create_train_state(
 ) -> tuple[NeuralAudioCodec, CodecTrainState, optax.GradientTransformation]:
     model = NeuralAudioCodec(config)
     k1, k2 = jax.random.split(key)
-    params = model.init(k1, jnp.zeros((1, config.hop * 2, 1)))
+    # jit the init: on the axon TPU relay, eager init dispatches every op as
+    # its own compile+execute round-trip (minutes); jitted it is one program
+    params = jax.jit(model.init)(k1, jnp.zeros((1, config.hop * 2, 1)))
     rvq_state = rvq_lib.init_rvq(
         k2, config.num_quantizers, config.codebook_size, config.latent_dim
     )

@@ -52,8 +52,9 @@ def create_gan_state(
     model = NeuralAudioCodec(config)
     disc = MultiScaleSTFTDiscriminator(filters=disc_filters, **(disc_kwargs or {}))
     k1, k2, k3 = jax.random.split(key, 3)
-    gen_params = model.init(k1, jnp.zeros((1, config.hop * 2, 1)))
-    disc_params = disc.init(k2, jnp.zeros((1, 1, 4096)))
+    # jitted init: one relay program instead of per-op eager dispatch
+    gen_params = jax.jit(model.init)(k1, jnp.zeros((1, config.hop * 2, 1)))
+    disc_params = jax.jit(disc.init)(k2, jnp.zeros((1, 1, 4096)))
     rvq_state = rvq_lib.init_rvq(
         k3, config.num_quantizers, config.codebook_size, config.latent_dim
     )

@@ -28,7 +28,10 @@ from task_aware_audio_coding_perceptual_tpu.models.sgmse.score_model import (
     complex_to_real_pair,
 )
 from task_aware_audio_coding_perceptual_tpu.train.checkpoints import CheckpointManager
-from task_aware_audio_coding_perceptual_tpu.train.logging_utils import CSVLogger
+from task_aware_audio_coding_perceptual_tpu.train.logging_utils import (
+    CSVLogger,
+    make_tracker,
+)
 
 
 def shard_eval_files(files, rank: Optional[int] = None, world_size: Optional[int] = None):
@@ -93,6 +96,9 @@ class SgmseTrainerConfig:
     log_dir: str = "./logs_sgmse"
     save_every_steps: Optional[int] = None  # reference: 50k
     max_steps: Optional[int] = None
+    # experiment tracker (reference: WandbLogger, train.py:83-84; --nolog
+    # falls back to CSV-only == "none" here)
+    tracker: str = "none"  # "none" | "jsonl" | "wandb"
 
 
 def train_sgmse(
@@ -125,6 +131,8 @@ def train_sgmse(
         os.path.join(cfg.log_dir, "metrics.csv"),
         ["epoch", "step", "train_loss", "valid_loss", "pesq", "si_sdr", "estoi"],
     )
+    tracker = make_tracker(cfg.tracker, cfg.log_dir, "sgmse")
+    tracker.log_config(dataclasses.asdict(cfg))
     train_step = jax.jit(model.make_train_step())
     key = jax.random.key(42)
 
@@ -170,10 +178,20 @@ def train_sgmse(
             valid_loss=float(np.mean(vlosses)) if vlosses else "",
             **{k: round(v, 4) for k, v in eval_metrics.items()},
         )
+        tracker.log(
+            {
+                "epoch": epoch,
+                "train_loss": float(np.mean(losses)) if losses else float("nan"),
+                "valid_loss": float(np.mean(vlosses)) if vlosses else float("nan"),
+                **eval_metrics,
+            },
+            step=steps,
+        )
         mgr.save(steps, state, metrics={"pesq": eval_metrics["pesq"]})
         if cfg.max_steps and steps >= cfg.max_steps:
             break
 
+    tracker.finish()
     logger.close()
     mgr.close()
     return state

@@ -188,7 +188,9 @@ def train_spectral_ae(
     init_batch = next(batch_iterator(ds, min(cfg.batch_size, len(ds)), shuffle=False))
     inputs = _model_inputs(cfg, init_batch)
     key, ki, kb = jax.random.split(key, 3)
-    variables = model.init(
+    variables = jax.jit(
+        model.init, static_argnames=("random_bottle_neck", "train")
+    )(
         {"params": ki, "bottleneck": kb}, *inputs,
         random_bottle_neck=cfg.random_bottleneck, train=True,
     )

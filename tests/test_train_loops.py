@@ -177,3 +177,31 @@ def test_task_aware_asr_loss_real_wav2vec2(rng):
     val, g = jax.value_and_grad(f)(decoded)
     assert np.isfinite(float(val))
     assert float(jnp.abs(g).max()) > 0.0
+
+
+def test_jsonl_tracker(tmp_path):
+    """Tracker interface (reference WandbLogger role, sgmse/train.py:83-84):
+    config + step events land in the run dir as JSON."""
+    import json
+
+    from task_aware_audio_coding_perceptual_tpu.train import logging_utils as L
+
+    tr = L.make_tracker("jsonl", str(tmp_path), "runA")
+    tr.log_config({"lr": 1e-4, "backbone": "ncsnpp"})
+    tr.log({"loss": 1.5}, step=0)
+    tr.log({"loss": 0.5, "note": "x"}, step=10)
+    tr.finish()
+
+    run = tmp_path / "runA"
+    cfg = json.loads((run / "config.json").read_text())
+    assert cfg["backbone"] == "ncsnpp"
+    events = [json.loads(l) for l in (run / "events.jsonl").read_text().splitlines()]
+    assert events[0]["loss"] == 1.5 and events[0]["step"] == 0
+    assert events[1]["loss"] == 0.5 and events[1]["note"] == "x"
+
+    # none == no-op; wandb raises offline
+    L.make_tracker("none", "").log({"a": 1})
+    import pytest as _pytest
+
+    with _pytest.raises(ImportError):
+        L.make_tracker("wandb", "proj")
