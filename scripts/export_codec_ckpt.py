@@ -19,20 +19,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+SEP = "::"  # flax WeightNorm param names contain "/" themselves
+
+
 def flatten(tree, prefix=""):
     out = {}
     if isinstance(tree, dict):
         for k, v in tree.items():
-            out.update(flatten(v, f"{prefix}{k}/"))
+            out.update(flatten(v, f"{prefix}{k}{SEP}"))
     else:
-        out[prefix[:-1]] = np.asarray(tree)
+        out[prefix[: -len(SEP)]] = np.asarray(tree)
     return out
 
 
 def unflatten(flat):
     tree = {}
     for k, v in flat.items():
-        parts = k.split("/")
+        parts = k.split(SEP)
         node = tree
         for p in parts[:-1]:
             node = node.setdefault(p, {})
@@ -48,21 +51,26 @@ def main():
     args = p.parse_args()
 
     import jax
-    from task_aware_audio_coding_perceptual_tpu.models.codec import CodecConfig
-    from task_aware_audio_coding_perceptual_tpu.train import checkpoints, codec_train, gan_train
 
-    cfg = CodecConfig()
-    if args.gan:
-        model, disc, state, *_ = gan_train.create_gan_state(cfg, jax.random.key(0))
-        state = checkpoints.restore_single(args.ckpt, state)
-        params, rvq = state.gen_params, state.rvq
-    else:
-        model, state, _ = codec_train.create_train_state(cfg, jax.random.key(0))
-        state = checkpoints.restore_single(args.ckpt, state)
-        params, rvq = state.params, state.rvq
+    # force CPU: sitecustomize pre-imports jax, so the JAX_PLATFORMS env var
+    # is too late; restoring 100+ MB through the TPU relay hangs
+    jax.config.update("jax_platforms", "cpu")
+    import orbax.checkpoint as ocp
 
-    flat = {f"params/{k}": v for k, v in flatten(params).items()}
-    flat["rvq/codebooks"] = np.asarray(rvq.codebooks)
+    # template-free raw restore as plain numpy: immune to optimizer/schedule
+    # pytree differences AND to the saved TPU device placement
+    ckptr = ocp.PyTreeCheckpointer()
+    meta = ckptr.metadata(os.path.abspath(args.ckpt)).item_metadata
+    tree = meta.tree if hasattr(meta, "tree") else meta
+    restore_args = jax.tree.map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree
+    )
+    raw = ckptr.restore(os.path.abspath(args.ckpt), restore_args=restore_args)
+    params = raw["gen_params" if args.gan else "params"]
+    rvq_codebooks = raw["rvq"]["codebooks"]
+
+    flat = {f"params{SEP}{k}": v for k, v in flatten(params).items()}
+    flat["rvq_codebooks"] = np.asarray(rvq_codebooks)
     np.savez_compressed(args.out, **flat)
     size_mb = os.path.getsize(args.out) / 1e6
     print(f"wrote {args.out} ({size_mb:.1f} MB, {len(flat)} arrays)")
@@ -71,8 +79,8 @@ def main():
 def load_artifact(path):
     """Load the npz back into (params_tree, codebooks)."""
     z = np.load(path)
-    flat_params = {k[len("params/"):]: z[k] for k in z.files if k.startswith("params/")}
-    return unflatten(flat_params), z["rvq/codebooks"]
+    flat_params = {k[len("params") + len(SEP):]: z[k] for k in z.files if k.startswith("params" + SEP)}
+    return unflatten(flat_params), z["rvq_codebooks"]
 
 
 if __name__ == "__main__":

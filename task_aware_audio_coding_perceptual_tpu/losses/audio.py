@@ -25,11 +25,22 @@ from task_aware_audio_coding_perceptual_tpu import dsp
 def nuclear_norm_loss(z: jax.Array) -> jax.Array:
     """Nuclear norm of the batch-centered, globally L2-normalized latent
     matrix, divided by batch size (reference ``pkl_file_models.py:398-403``).
+
+    Computed as ``sum(sqrt(eig(G)))`` of the small-side Gram matrix
+    ``G = z z^T`` (or ``z^T z``) instead of ``jnp.linalg.svd``: identical
+    singular values, but the TPU SVD lowering (and its VJP) is a
+    pathological remote-compile (>60 min wedging the whole relay at
+    (4, 1024)), while ``eigvalsh`` of a (batch, batch) Gram compiles
+    instantly. The ``+1e-12`` inside the sqrt keeps the gradient finite at
+    rank deficiency; it perturbs the loss by < 1e-5.
     """
     batch = z.shape[0]
     z = z - jnp.mean(z, axis=0)
     z = z / (jnp.linalg.norm(z) + 1e-12)
-    s = jnp.linalg.svd(z.astype(jnp.float32), compute_uv=False)
+    z = z.astype(jnp.float32)
+    g = z @ z.T if z.shape[0] <= z.shape[1] else z.T @ z
+    w = jnp.linalg.eigvalsh(g)
+    s = jnp.sqrt(jnp.clip(w, 0.0) + 1e-12)
     return jnp.sum(s) / batch
 
 
