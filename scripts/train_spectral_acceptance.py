@@ -36,6 +36,14 @@ def main():
     p.add_argument("--n-test", type=int, default=8)
     p.add_argument("--out", default="runs/spectral_acceptance")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--weight-cross-penalty", type=float, default=0.01,
+                   help="cosine-decorrelation weight; the reference's 0.1 "
+                        "overshoots |cos|<0.2 into anticorrelation on the "
+                        "highly-correlated synthetic corpus")
+    p.add_argument("--beta-kl", type=float, default=0.1,
+                   help="nuclear-norm weight (reference CLI default 0.1, "
+                        "train_pkl_file.py:351; 1.0 drives the latents "
+                        "rank-1 and saturates |cos| at its max)")
     args = p.parse_args()
 
     from task_aware_audio_coding_perceptual_tpu.data import chime
@@ -66,6 +74,8 @@ def main():
         out_dir=args.out,
         normalize=True,  # train on the distribution the acceptance eval sees
         save_every=10,
+        weight_cross_penalty=args.weight_cross_penalty,
+        beta_kl=args.beta_kl,
     )
     t0 = time.time()
     model, state = spectral_train.train_spectral_ae(cfg, clean_dir, noisy_dirs)

@@ -69,6 +69,11 @@ class SpectralTrainConfig:
     # is a train/eval distribution mismatch — keep False for strict parity,
     # True to train on the same distribution the acceptance check sees
     normalize: bool = False
+    # stage the whole train set in HBM once and gather batches on-device
+    # (a 4-obs full-size batch is ~78 MB; per-step host transfer through
+    # the TPU relay dominated epoch time). Ignored when a task head needs
+    # host batches.
+    device_resident: bool = True
 
 
 @flax.struct.dataclass
@@ -160,6 +165,42 @@ def make_spectral_train_step(model, cfg: SpectralTrainConfig, tx):
     return train_step
 
 
+def make_indexed_train_step(model, cfg: SpectralTrainConfig, tx):
+    """Device-resident variant: the full train set lives in HBM as one
+    pytree; each step receives only a (B,) index vector and gathers its
+    batch on-device inside the same jitted program.
+
+    Rationale: a (4-obs, 1025, 600) float32 batch is ~78 MB; shipping it
+    through the TPU relay every step made an epoch take minutes. With the
+    data staged once, a step transfers 4 int32s.
+    """
+    base_step = make_spectral_train_step(model, cfg, tx)
+
+    def train_step(state: SpectralTrainState, data: dict, idx: jax.Array, key):
+        batch = jax.tree.map(lambda a: a[idx], data)
+        return base_step(state, _model_inputs(cfg, batch), key)
+
+    return train_step
+
+
+def stage_dataset_on_device(ds) -> dict:
+    """Stack every item of a :class:`SpectralDataset` into one device-held
+    pytree {source: {"magnitude": (N,F,T), "phase": (N,F,T)}}."""
+    import jax.numpy as jnp
+
+    items = [ds[i] for i in range(len(ds))]
+    first = items[0]
+    out = {}
+    for src in first:
+        out[src] = {
+            field: jnp.asarray(
+                np.stack([np.asarray(it[src][field], np.float32) for it in items])
+            )
+            for field in ("magnitude", "phase")
+        }
+    return out
+
+
 def train_spectral_ae(
     cfg: SpectralTrainConfig,
     clean_dir: str,
@@ -202,6 +243,13 @@ def train_spectral_ae(
     )
     train_step = jax.jit(make_spectral_train_step(model, cfg, tx))
 
+    # device-resident data: only possible without a task head (which needs
+    # host-side batches); transfers the set once instead of 78 MB per step
+    device_resident = cfg.device_resident and task_loss_fn is None
+    if device_resident:
+        data_dev = stage_dataset_on_device(ds)
+        train_step_idx = jax.jit(make_indexed_train_step(model, cfg, tx))
+
     model_name = model.get_model_name()
     run_dir = os.path.join(cfg.out_dir, model_name)
     os.makedirs(run_dir, exist_ok=True)
@@ -217,33 +265,50 @@ def train_spectral_ae(
     for epoch in range(cfg.num_epochs):
         epoch_metrics = []
         task_mse_acc, task_disc_acc = [], []
-        for batch in batch_iterator(ds, cfg.batch_size, shuffle=True, seed=cfg.seed, epoch=epoch):
-            if batch["clean_audio"]["magnitude"].shape[0] != cfg.batch_size:
-                continue  # batch-size guard (train_pkl_file_task_aware.py:603-604)
-            inputs = _model_inputs(cfg, batch)
-            key, kb = jax.random.split(key)
-            state, metrics, dim_info = train_step(state, inputs, kb)
 
-            if task_loss_fn is not None:
-                out = model.apply(
-                    state.variables, *inputs,
-                    random_bottle_neck=cfg.random_bottleneck,
-                    rngs={"bottleneck": kb},
+        if device_resident:
+            n = len(ds)
+            perm = np.arange(n)
+            np.random.default_rng(cfg.seed + epoch).shuffle(perm)
+            for s in range(0, n - (n % cfg.batch_size), cfg.batch_size):
+                key, kb = jax.random.split(key)
+                state, metrics, dim_info = train_step_idx(
+                    state, data_dev, jnp.asarray(perm[s : s + cfg.batch_size]), kb
                 )
-                t_mse, t_disc = task_loss_fn(out.obs_dec, batch["clean_audio"])
-                task_mse_acc.append(float(t_mse))
-                task_disc_acc.append(float(t_disc))
-                # v2: the task terms join the objective through an extra
-                # gradient step when requested
-                if task_loss_in_objective:
-                    metrics = {**metrics, "task": float(t_mse) + float(t_disc)}
+                epoch_metrics.append({k: float(v) for k, v in metrics.items()})
+                steps += 1
+                if cfg.break_after_first_batch:
+                    break
+                if max_steps is not None and steps >= max_steps:
+                    break
+        else:
+            for batch in batch_iterator(ds, cfg.batch_size, shuffle=True, seed=cfg.seed, epoch=epoch):
+                if batch["clean_audio"]["magnitude"].shape[0] != cfg.batch_size:
+                    continue  # batch-size guard (train_pkl_file_task_aware.py:603-604)
+                inputs = _model_inputs(cfg, batch)
+                key, kb = jax.random.split(key)
+                state, metrics, dim_info = train_step(state, inputs, kb)
 
-            epoch_metrics.append({k: float(v) for k, v in metrics.items()})
-            steps += 1
-            if cfg.break_after_first_batch:
-                break
-            if max_steps is not None and steps >= max_steps:
-                break
+                if task_loss_fn is not None:
+                    out = model.apply(
+                        state.variables, *inputs,
+                        random_bottle_neck=cfg.random_bottleneck,
+                        rngs={"bottleneck": kb},
+                    )
+                    t_mse, t_disc = task_loss_fn(out.obs_dec, batch["clean_audio"])
+                    task_mse_acc.append(float(t_mse))
+                    task_disc_acc.append(float(t_disc))
+                    # v2: the task terms join the objective through an extra
+                    # gradient step when requested
+                    if task_loss_in_objective:
+                        metrics = {**metrics, "task": float(t_mse) + float(t_disc)}
+
+                epoch_metrics.append({k: float(v) for k, v in metrics.items()})
+                steps += 1
+                if cfg.break_after_first_batch:
+                    break
+                if max_steps is not None and steps >= max_steps:
+                    break
 
         avg = {
             k: float(np.mean([m[k] for m in epoch_metrics]))
