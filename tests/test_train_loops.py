@@ -161,7 +161,10 @@ def test_task_aware_asr_loss_real_wav2vec2(rng):
     }
     asr_apply, params = task_aware.make_asr_head(
         hf_config=dict(hidden_size=32, num_hidden_layers=1, intermediate_size=64,
-                       conv_dim=(16,) * 7))
+                       num_attention_heads=2,
+                       conv_dim=(8, 8, 8), conv_kernel=(10, 3, 3),
+                       conv_stride=(5, 2, 2), num_conv_pos_embeddings=16,
+                       num_conv_pos_embedding_groups=4))
     # it's a genuine transformers Flax model tree
     assert "wav2vec2" in params and "lm_head" in params
 
