@@ -81,8 +81,9 @@ def test_trained_codec_heldout_si_sdr():
 
     scores = np.asarray(roundtrip(jnp.asarray(wav)))
     assert np.isfinite(scores).all()
-    # the committed artifact (30k-step GAN recipe, runs/codec_gan_r3)
-    # measured [4.86, 4.18, 5.23, 5.35] dB on these exact seeds; the floor
-    # leaves margin for cross-backend numeric drift, not quality drift
-    assert scores.mean() > 3.5, scores
-    assert scores.min() > 2.0, scores
+    # the committed artifact (30k-step GAN recipe + 12k-step low-lr
+    # SI-SDR polish, runs/codec_polish) measured [5.21, 4.47, 5.28, 6.12]
+    # dB (mean +5.27) on these exact seeds; the floor leaves margin for
+    # cross-backend numeric drift, not quality drift
+    assert scores.mean() > 4.0, scores
+    assert scores.min() > 3.0, scores
