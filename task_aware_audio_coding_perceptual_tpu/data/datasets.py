@@ -181,7 +181,13 @@ class Specs:
         tf = lambda s: dsp.spec_fwd(
             s, self.spec_abs_exponent, self.spec_factor, self.transform_type
         )
-        return np.asarray(tf(X)), np.asarray(tf(Y))
+
+        def to_np(s):
+            # complex64 cannot cross device->host on the axon TPU relay;
+            # transfer real/imag planes separately and recombine on host
+            return np.asarray(s.real) + 1j * np.asarray(s.imag)
+
+        return to_np(tf(X)), to_np(tf(Y))
 
 
 def write_synthetic_spectral_dataset(
