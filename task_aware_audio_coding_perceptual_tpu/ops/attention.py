@@ -75,9 +75,44 @@ def flash_attention(
     block_k: int = 256,
     interpret: bool | None = None,
 ) -> jax.Array:
-    """(B, N, D) fused attention; pads N to the block size internally."""
+    """(B, N, D) fused attention; pads N to the block size internally.
+
+    Differentiable: the forward runs the Pallas online-softmax kernel; the
+    backward recomputes attention through :func:`attention_ref` (a custom
+    VJP) — exact gradients at O(n^2) backward memory, which is fine at
+    NCSN++'s 16xT attention sizes. A fused flash backward is future work.
+    """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    return _flash(q, k, v, block_q, block_k, bool(interpret))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash(q, k, v, block_q, block_k, interpret):
+    return _flash_impl(q, k, v, block_q, block_k, interpret)
+
+
+def _flash_vjp_fwd(q, k, v, block_q, block_k, interpret):
+    return _flash_impl(q, k, v, block_q, block_k, interpret), (q, k, v)
+
+
+def _flash_vjp_bwd(block_q, block_k, interpret, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(attention_ref, q, k, v)
+    return vjp(g)
+
+
+_flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
+
+
+def _flash_impl(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    block_q: int = 256,
+    block_k: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
     b, n, d = q.shape
     scale = float(d) ** -0.5
     block_q = min(block_q, max(8, 1 << (n - 1).bit_length()))

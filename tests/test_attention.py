@@ -67,3 +67,28 @@ def test_ncsnpp_flash_attention_parity():
     out_flash = m_flash.apply(params, x, t)
     np.testing.assert_allclose(np.asarray(out_flash), np.asarray(out_ref),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_flash_attention_gradients_match_reference(rng):
+    """flash_attention is differentiable (custom VJP through attention_ref):
+    the NCSN++ train path broke on TPU when flash defaulted on without a
+    backward rule. Gradients must match the reference einsum attention."""
+    from task_aware_audio_coding_perceptual_tpu.ops.attention import (
+        attention_ref,
+        flash_attention,
+    )
+
+    q = jnp.asarray(rng.standard_normal((2, 24, 16)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((2, 24, 16)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((2, 24, 16)), jnp.float32)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attention_ref(q, k, v) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
