@@ -134,6 +134,11 @@ def train_sgmse(
     tracker = make_tracker(cfg.tracker, cfg.log_dir, "sgmse")
     tracker.log_config(dataclasses.asdict(cfg))
     train_step = jax.jit(model.make_train_step())
+    # validation loss must also be jitted: eager complex construction is
+    # unimplemented on the axon TPU relay
+    val_loss = jax.jit(
+        lambda params, key, x, y: model.step_loss(params, key, x, y, train=False)
+    )
     key = jax.random.key(42)
 
     steps = int(state.step)
@@ -158,7 +163,7 @@ def train_sgmse(
             key, sub = jax.random.split(key)
             xb = jnp.asarray(np.stack([X.real, X.imag], -1))
             yb = jnp.asarray(np.stack([Y.real, Y.imag], -1))
-            vlosses.append(float(model.step_loss(state.params, sub, xb, yb, train=False)))
+            vlosses.append(float(val_loss(state.params, sub, xb, yb)))
 
         eval_metrics = {"pesq": float("nan"), "si_sdr": float("nan"), "estoi": float("nan")}
         if cfg.num_eval_files > 0:
