@@ -1,4 +1,4 @@
-"""Codec overfit diagnostic protocol (round-2 evidence in PARITY.md).: is RVQ or the AE the binding constraint?
+"""Codec overfit diagnostic protocol: is RVQ or the AE the binding constraint?
 
 Variants:
 A) bypass RVQ (decoder sees unquantized z)  -> isolates AE capacity
