@@ -136,13 +136,18 @@ def pesq_p862(fs: int, ref: np.ndarray, deg: np.ndarray, mode: str | None = None
     if mode is None:
         mode = "nb" if fs <= 8000 else "wb"
 
+    frame = int(_FRAME_MS / 1000 * fs)
+    # minimum-length guard must precede level/time alignment: inputs shorter
+    # than one 4 ms envelope frame make _align_constant_lag's reshape empty
+    # and np.correlate raise
+    if min(len(ref), len(deg)) < 2 * frame:
+        return 1.0
+
     # --- level alignment: both to the same active-speech power
     ref = ref * np.sqrt(_TARGET_POWER / _active_speech_power(ref, fs))
     deg = deg * np.sqrt(_TARGET_POWER / _active_speech_power(deg, fs))
     ref, deg = _align_constant_lag(ref, deg, fs)
-
-    frame = int(_FRAME_MS / 1000 * fs)
-    if len(ref) < 2 * frame:
+    if min(len(ref), len(deg)) < 2 * frame:
         return 1.0
     nfft = frame
     n_bands = 42 if fs <= 8000 else 49

@@ -19,7 +19,12 @@ this lived as config flips in ``scripts/check_code_parity.py``):
    can argmin differently in raw f32; the tolerance band absorbs that
    perturbation so both backends resolve to the same index.
    ``scripts/check_code_parity.py`` verifies strict match on TPU under this
-   API with no caller-side configuration (see PARITY.md).
+   API with no caller-side configuration (see PARITY.md). Residual risk:
+   the tolerance band shifts, not removes, the decision boundary — a
+   distance landing within the cross-backend perturbation (~1e-7) of the
+   1e-5 boundary itself can still flip in/out of the tie set, so identity
+   is *empirically verified* on the supported backends (CPU/TPU), not
+   guaranteed unconditionally.
 
 Usage::
 

@@ -115,10 +115,11 @@ def quantize(
     Args:
         num_active: use only the first ``num_active`` quantizer levels
             (bitrate scalability, EnCodec-style). Static int.
-        deterministic_ties: snap distances to a fixed bf16 grid before the
-            argmin (reference path only) so near-tie code choices are
-            bit-identical across backends; used by
-            :class:`~..models.deterministic.DeterministicCodec`.
+        deterministic_ties: pick the lowest codeword index within
+            ``1e-5 x row-scale`` of the minimum distance (reference path
+            only), so near-tie code choices resolve identically across
+            backends despite ~1e-7 cross-backend distance perturbations;
+            used by :class:`~..models.deterministic.DeterministicCodec`.
     """
     L = state.codebooks.shape[0]
     num_active = L if num_active is None else num_active

@@ -388,12 +388,16 @@ class ScoreModel:
         Y = self.transforms.spec_fwd(self.transforms.stft(y))[None]  # (1, 1, F, T)
         Y = dsp.pad_spec(Y)
 
+        # kwarg values may be unhashable (lists/arrays): key on their repr,
+        # which is stable for the config-like values enhance accepts
         cache_key = (
             Y.shape, N, predictor, corrector, corrector_steps, snr,
-            tuple(sorted(kwargs.items())),
+            tuple(sorted((k, repr(v)) for k, v in kwargs.items())),
         )
         run = self._sampler_cache.get(cache_key)
         if run is None:
+            if len(self._sampler_cache) >= 32:  # bound growth: drop oldest
+                self._sampler_cache.pop(next(iter(self._sampler_cache)))
             run = jax.jit(self._make_enhance_runner(
                 N, predictor, corrector, corrector_steps, snr, kwargs))
             self._sampler_cache[cache_key] = run

@@ -19,7 +19,8 @@ from task_aware_audio_coding_perceptual_tpu.models.codec import (
 )
 
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "rvq_codes.npy")
-# deterministic-ties public-API golden (bf16-snapped distances; CPU-generated)
+# deterministic-ties public-API golden (lowest-index-within-eps-tolerance
+# argmin; CPU-generated)
 GOLDEN_DET = os.path.join(os.path.dirname(__file__), "golden", "rvq_codes_det.npy")
 
 
