@@ -66,6 +66,9 @@ def build_parser():
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--log_dir", type=str, default="./logs_sgmse")
     p.add_argument("--ckpt", type=str, default=None, help="resume checkpoint dir")
+    p.add_argument("--dp", type=int, default=0,
+                   help="data-parallel degree over the device mesh "
+                        "(reference: Lightning DDP); -1 = all devices")
     return p
 
 
@@ -107,6 +110,7 @@ def main(argv=None):
         num_eval_files=args.num_eval_files,
         log_dir=args.log_dir,
         max_steps=args.max_steps,
+        dp=args.dp,
     )
     train_sgmse(model, data, tcfg, resume_from=args.ckpt)
 

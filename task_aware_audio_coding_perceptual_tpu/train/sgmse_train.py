@@ -88,6 +88,19 @@ def evaluate_enhancement(
     }
 
 
+def _stage_specs(specs_ds):
+    """Precompute every item's (X, Y) spectrogram once and hold the stacked
+    real-pair tensors on device: (N, 1, F, T, 2) x2. One crop per file is
+    frozen (the per-access random crop is lost) — acceptable for the staged
+    fast path; the streaming path keeps full augmentation."""
+    xs, ys = [], []
+    for i in range(len(specs_ds)):
+        X, Y = specs_ds[i]
+        xs.append(np.stack([X.real, X.imag], -1).astype(np.float32))
+        ys.append(np.stack([Y.real, Y.imag], -1).astype(np.float32))
+    return jnp.asarray(np.stack(xs)), jnp.asarray(np.stack(ys))
+
+
 @dataclasses.dataclass
 class SgmseTrainerConfig:
     max_epochs: int = 10
@@ -99,6 +112,20 @@ class SgmseTrainerConfig:
     # experiment tracker (reference: WandbLogger, train.py:83-84; --nolog
     # falls back to CSV-only == "none" here)
     tracker: str = "none"  # "none" | "jsonl" | "wandb"
+    # data parallelism over a device mesh (the reference's Lightning DDP,
+    # ``sgmse/train.py:102-107``): 0/1 = single device, -1 = all visible
+    # devices, n = first n devices. Batch size must divide by the dp degree.
+    dp: int = 0
+    # run validation-loss + enhancement eval only every K epochs (the
+    # reference validates per epoch, model.py:205-262; on small corpora an
+    # epoch is a handful of steps and per-epoch PC-sampler eval dominates)
+    eval_every_epochs: int = 1
+    # stage the whole spectrogram dataset in HBM once and gather batches
+    # by index inside the jitted step — required for throughput on hosts
+    # where per-step batch assembly is the bottleneck (the TPU-relay box
+    # has one CPU core; see memory/tpu-box-scheduling). Incompatible with
+    # dp>1 (the staged tensor lives on one device).
+    stage_on_device: bool = False
 
 
 def train_sgmse(
@@ -141,29 +168,85 @@ def train_sgmse(
     )
     key = jax.random.key(42)
 
+    # data-parallel mesh: one jitted program, batch sharded over dp, state
+    # replicated; XLA inserts the gradient all-reduce (reference: DDP).
+    mesh = None
+    if cfg.dp and cfg.dp != 1:
+        from task_aware_audio_coding_perceptual_tpu.parallel import mesh as mesh_lib
+
+        mesh = mesh_lib.make_mesh(None if cfg.dp < 0 else cfg.dp, tp=1)
+        dp_sharding = mesh_lib.batch_sharding(mesh)
+        state = jax.device_put(state, mesh_lib.replicated(mesh))
+
+    def _put(b):
+        return jax.device_put(b, dp_sharding) if mesh is not None else jnp.asarray(b)
+
+    staged = None
+    if cfg.stage_on_device:
+        assert mesh is None, "stage_on_device is single-device (use dp=0)"
+        staged = {
+            "train": _stage_specs(data.train_set),
+            "valid": _stage_specs(data.valid_set),
+        }
+        train_step_idx = jax.jit(
+            lambda state, key, X, Y, idx: train_step(state, key, X[idx], Y[idx])
+        )
+        val_loss_idx = jax.jit(
+            lambda params, key, X, Y, idx: val_loss(params, key, X[idx], Y[idx])
+        )
+
     steps = int(state.step)
     for epoch in range(cfg.max_epochs):
         losses = []
-        for X, Y in data.train_dataloader(epoch):
-            key, sub = jax.random.split(key)
-            # real-pair boundary: complex arrays can't cross host->device
-            xb = jnp.asarray(np.stack([X.real, X.imag], -1))
-            yb = jnp.asarray(np.stack([Y.real, Y.imag], -1))
-            state, m = train_step(state, sub, xb, yb)
-            losses.append(float(m["train_loss"]))
-            steps += 1
-            if cfg.save_every_steps and steps % cfg.save_every_steps == 0:
-                mgr.save(steps, state, metrics={"pesq": -1.0})
-            if cfg.max_steps and steps >= cfg.max_steps:
-                break
+        if staged is not None:
+            Xd, Yd = staged["train"]
+            n = Xd.shape[0]
+            perm = np.arange(n)
+            np.random.default_rng(epoch).shuffle(perm)
+            for s in range(0, n - (n % data.batch_size), data.batch_size):
+                key, sub = jax.random.split(key)
+                idx = jnp.asarray(perm[s : s + data.batch_size])
+                state, m = train_step_idx(state, sub, Xd, Yd, idx)
+                losses.append(float(m["train_loss"]))
+                steps += 1
+                if cfg.save_every_steps and steps % cfg.save_every_steps == 0:
+                    mgr.save(steps, state, metrics={"pesq": -1.0})
+                if cfg.max_steps and steps >= cfg.max_steps:
+                    break
+        else:
+            for X, Y in data.train_dataloader(epoch):
+                key, sub = jax.random.split(key)
+                # real-pair boundary: complex arrays can't cross host->device
+                xb = _put(np.stack([X.real, X.imag], -1))
+                yb = _put(np.stack([Y.real, Y.imag], -1))
+                state, m = train_step(state, sub, xb, yb)
+                losses.append(float(m["train_loss"]))
+                steps += 1
+                if cfg.save_every_steps and steps % cfg.save_every_steps == 0:
+                    mgr.save(steps, state, metrics={"pesq": -1.0})
+                if cfg.max_steps and steps >= cfg.max_steps:
+                    break
+
+        done = bool(cfg.max_steps and steps >= cfg.max_steps)
+        if not (epoch % max(cfg.eval_every_epochs, 1) == 0
+                or epoch == cfg.max_epochs - 1 or done):
+            continue
 
         # validation: loss + file-based enhancement metrics (EMA params)
         vlosses = []
-        for X, Y in data.val_dataloader():
-            key, sub = jax.random.split(key)
-            xb = jnp.asarray(np.stack([X.real, X.imag], -1))
-            yb = jnp.asarray(np.stack([Y.real, Y.imag], -1))
-            vlosses.append(float(val_loss(state.params, sub, xb, yb)))
+        if staged is not None:
+            Xv, Yv = staged["valid"]
+            nv = Xv.shape[0]
+            for s in range(0, nv - (nv % data.batch_size), data.batch_size):
+                key, sub = jax.random.split(key)
+                idx = jnp.arange(s, s + data.batch_size)
+                vlosses.append(float(val_loss_idx(state.params, sub, Xv, Yv, idx)))
+        else:
+            for X, Y in data.val_dataloader():
+                key, sub = jax.random.split(key)
+                xb = _put(np.stack([X.real, X.imag], -1))
+                yb = _put(np.stack([Y.real, Y.imag], -1))
+                vlosses.append(float(val_loss(state.params, sub, xb, yb)))
 
         eval_metrics = {"pesq": float("nan"), "si_sdr": float("nan"), "estoi": float("nan")}
         if cfg.num_eval_files > 0:
@@ -193,7 +276,7 @@ def train_sgmse(
             step=steps,
         )
         mgr.save(steps, state, metrics={"pesq": eval_metrics["pesq"]})
-        if cfg.max_steps and steps >= cfg.max_steps:
+        if done:
             break
 
     tracker.finish()
