@@ -228,6 +228,41 @@ class TaskAwareEnhancementLoss:
         return mse, disc_loss
 
 
+@dataclasses.dataclass
+class TaskAwareFeatureLoss:
+    """Gradient-flowing task loss: distance between the frozen ASR head's
+    logits on the *decoded* audio and on the *clean* audio.
+
+    This is the well-posed expression of the reference's task-aware intent
+    (``train_pkl_file_task_aware.py:270-367`` compares the frozen head's
+    reading of decoded audio against the clean signal; its argmax/.item()
+    chain detaches the gradient — SURVEY §2.1). Matching the head's logits
+    directly (a) keeps the loss differentiable end-to-end into the encoder
+    and (b) measures exactly what a downstream ASR consumer sees. Used for
+    the task-on/task-off capability A/B (VERDICT r3 item 2).
+    """
+
+    asr_apply: Callable
+    disc: Optional[object] = None
+    disc_params: Optional[object] = None
+    detached: bool = False
+
+    def __call__(self, decoded: jax.Array, clean: dict) -> Tuple[jax.Array, jax.Array]:
+        clean_wav = batch_reconstruct_waveform(clean["magnitude"], clean["phase"])
+        decoded_wav = batch_reconstruct_waveform(decoded[:, 0], decoded[:, 1])
+        logits_dec = self.asr_apply(decoded_wav)
+        logits_clean = jax.lax.stop_gradient(self.asr_apply(clean_wav))
+        task = jnp.mean((logits_dec - logits_clean) ** 2)
+        if self.disc is not None:
+            disc_loss = _disc_terms(self.disc, self.disc_params, decoded_wav, clean_wav)
+        else:
+            disc_loss = jnp.zeros(())
+        if self.detached:
+            task = jax.lax.stop_gradient(task)
+            disc_loss = jax.lax.stop_gradient(disc_loss)
+        return task, disc_loss
+
+
 def _disc_terms(disc, disc_params, enhanced: jax.Array, clean_wav: jax.Array) -> jax.Array:
     """Feature-matching L1 + the reference's combined LSGAN MSE terms
     (``train_pkl_file_task_aware.py:343-364``)."""

@@ -114,7 +114,15 @@ def _model_inputs(cfg: SpectralTrainConfig, batch: dict):
     )
 
 
-def make_spectral_train_step(model, cfg: SpectralTrainConfig, tx):
+def make_spectral_train_step(model, cfg: SpectralTrainConfig, tx,
+                             task_loss_fn=None, task_weight: float = 1.0):
+    """Jitted train step. With ``task_loss_fn`` (a jittable, gradient-flowing
+    head such as :class:`~..models.task_aware.TaskAwareFeatureLoss` with
+    ``detached=False``), the task terms join the *differentiated* objective —
+    the reference's intent at ``train_pkl_file_task_aware_update.py:413-418``
+    with its ``.item()`` detachment fixed; the step then takes an extra
+    ``clean_batch`` argument ({'magnitude','phase'})."""
+
     def loss_from_outputs(out):
         loss = (
             cfg.beta_rec * out.total_mse
@@ -125,7 +133,7 @@ def make_spectral_train_step(model, cfg: SpectralTrainConfig, tx):
             loss = loss + out.total_spec_loss
         return loss
 
-    def train_step(state: SpectralTrainState, batch_inputs, key):
+    def train_step(state: SpectralTrainState, batch_inputs, key, clean_batch=None):
         params = state.variables["params"]
         rest = {k: v for k, v in state.variables.items() if k != "params"}
 
@@ -138,9 +146,17 @@ def make_spectral_train_step(model, cfg: SpectralTrainConfig, tx):
                 rngs={"bottleneck": key},
                 mutable=["batch_stats"],
             )
-            return loss_from_outputs(out), (out, mutated)
+            loss = loss_from_outputs(out)
+            task_aux = None
+            if task_loss_fn is not None:
+                t_mse, t_disc = task_loss_fn(out.obs_dec, clean_batch)
+                loss = loss + task_weight * (t_mse + t_disc)
+                task_aux = (t_mse, t_disc)
+            return loss, (out, mutated, task_aux)
 
-        (loss, (out, mutated)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        (loss, (out, mutated, task_aux)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
         updates, new_opt = tx.update(grads, state.opt_state, params)
         new_params = optax.apply_updates(params, updates)
         new_vars = {"params": new_params, **{**rest, **mutated}}
@@ -156,6 +172,9 @@ def make_spectral_train_step(model, cfg: SpectralTrainConfig, tx):
             "psnr_obs": out.psnr_obs,
             "psnr_clean": out.psnr_clean,
         }
+        if task_aux is not None:
+            metrics["task_mse"] = task_aux[0]
+            metrics["task_disc"] = task_aux[1]
         return (
             SpectralTrainState(variables=new_vars, opt_state=new_opt, step=state.step + 1),
             metrics,
@@ -208,6 +227,8 @@ def train_spectral_ae(
     task_loss_fn: Optional[Callable] = None,
     task_loss_in_objective: bool = False,
     max_steps: Optional[int] = None,
+    task_gradient: bool = False,
+    task_weight: float = 1.0,
 ):
     """Epoch loop (reference ``train_spectral_ae``).
 
@@ -216,7 +237,13 @@ def train_spectral_ae(
             task-aware head. With ``task_loss_in_objective=False`` the task
             terms are computed+logged only (v1 semantics,
             ``train_pkl_file_task_aware.py:618,633``); with True they are
-            added to the loss (v2 semantics, ``..._update.py:413-418``).
+            added to the loss as detached scalars (v2 bug-parity semantics,
+            ``..._update.py:413-418`` — the reference adds ``.item()``
+            floats, a constant offset).
+        task_gradient: fixed-intent mode — the task terms are part of the
+            *differentiated* objective (weight ``task_weight``), gradients
+            flowing through the frozen head into the autoencoder. Requires a
+            jittable ``task_loss_fn`` with ``detached=False``.
     """
     key = jax.random.key(cfg.seed)
     model = build_model(cfg)
@@ -241,7 +268,12 @@ def train_spectral_ae(
         opt_state=tx.init(variables["params"]),
         step=jnp.zeros((), jnp.int32),
     )
-    train_step = jax.jit(make_spectral_train_step(model, cfg, tx))
+    if task_gradient:
+        assert task_loss_fn is not None, "task_gradient requires task_loss_fn"
+        train_step = jax.jit(make_spectral_train_step(
+            model, cfg, tx, task_loss_fn=task_loss_fn, task_weight=task_weight))
+    else:
+        train_step = jax.jit(make_spectral_train_step(model, cfg, tx))
 
     # device-resident data: only possible without a task head (which needs
     # host-side batches); transfers the set once instead of 78 MB per step
@@ -287,9 +319,15 @@ def train_spectral_ae(
                     continue  # batch-size guard (train_pkl_file_task_aware.py:603-604)
                 inputs = _model_inputs(cfg, batch)
                 key, kb = jax.random.split(key)
-                state, metrics, dim_info = train_step(state, inputs, kb)
+                if task_gradient:
+                    clean = {k: batch["clean_audio"][k] for k in ("magnitude", "phase")}
+                    state, metrics, dim_info = train_step(state, inputs, kb, clean)
+                    task_mse_acc.append(float(metrics.pop("task_mse")))
+                    task_disc_acc.append(float(metrics.pop("task_disc")))
+                else:
+                    state, metrics, dim_info = train_step(state, inputs, kb)
 
-                if task_loss_fn is not None:
+                if task_loss_fn is not None and not task_gradient:
                     out = model.apply(
                         state.variables, *inputs,
                         random_bottle_neck=cfg.random_bottleneck,

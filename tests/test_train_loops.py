@@ -208,3 +208,64 @@ def test_jsonl_tracker(tmp_path):
 
     with _pytest.raises(ImportError):
         L.make_tracker("wandb", "proj")
+
+
+def test_task_gradient_flows_into_encoder(tiny_dataset, tmp_path):
+    """VERDICT r3 item 2: with task_gradient=True the task term must produce
+    a nonzero gradient into the *encoder* params, and one step must run."""
+    from task_aware_audio_coding_perceptual_tpu.train.spectral_train import (
+        build_model,
+        make_spectral_train_step,
+        _model_inputs,
+        SpectralTrainState,
+    )
+    from task_aware_audio_coding_perceptual_tpu.data.datamodule import batch_iterator
+    from task_aware_audio_coding_perceptual_tpu.data.datasets import SpectralDataset
+    import optax
+
+    clean_dir, noisy_dirs = tiny_dataset
+    cfg = _cfg(out_dir=str(tmp_path / "ab"))
+    model = build_model(cfg)
+    ds = SpectralDataset(clean_dir, noisy_dirs[:2], "Train",
+                         target_shape=(F_DIM, T_DIM))
+    batch = next(batch_iterator(ds, 2, shuffle=False))
+    inputs = _model_inputs(cfg, batch)
+    variables = model.init(
+        {"params": jax.random.key(0), "bottleneck": jax.random.key(1)},
+        *inputs, random_bottle_neck=True, train=True,
+    )
+    asr_apply = task_aware.make_asr_head(example_len=4000)[0]
+    tl = task_aware.TaskAwareFeatureLoss(asr_apply, detached=False)
+    clean = {k: batch["clean_audio"][k] for k in ("magnitude", "phase")}
+
+    # (a) task term alone has nonzero encoder gradient
+    def task_only(params):
+        out = model.apply(
+            {**variables, "params": params}, *inputs,
+            random_bottle_neck=True, rngs={"bottleneck": jax.random.key(2)},
+        )
+        t_mse, t_disc = tl(out.obs_dec, clean)
+        return t_mse + t_disc
+
+    g = jax.grad(task_only)(variables["params"])
+    enc_leaves = [
+        (path, leaf) for path, leaf in jax.tree_util.tree_leaves_with_path(g)
+        if "enc" in jax.tree_util.keystr(path).lower()
+    ]
+    assert enc_leaves, "no encoder params found"
+    gmax = max(float(jnp.abs(l).max()) for _, l in enc_leaves)
+    assert gmax > 0.0, "task gradient does not reach the encoder"
+
+    # (b) the task-aware train step runs and reports task metrics
+    tx = optax.adam(1e-4)
+    step = jax.jit(make_spectral_train_step(model, cfg, tx, task_loss_fn=tl,
+                                            task_weight=0.5))
+    state = SpectralTrainState(
+        variables=variables, opt_state=tx.init(variables["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+    state2, metrics, _ = step(state, inputs, jax.random.key(3), clean)
+    assert np.isfinite(float(metrics["task_mse"]))
+    p0 = jax.tree.leaves(variables["params"])[0]
+    p1 = jax.tree.leaves(state2.variables["params"])[0]
+    assert float(jnp.abs(p1 - p0).max()) > 0.0
