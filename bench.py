@@ -82,6 +82,55 @@ def main():
                 "unit": "streams (x real-time)",
                 "vs_baseline": round(streams / 1000.0, 3),
             }
+        ),
+        flush=True,
+    )
+
+    try:
+        enhance_rtf()
+    except Exception as e:  # enhance RTF is a secondary metric; never let it
+        print(json.dumps({"metric": "enhance_rtf", "error": repr(e)}))  # kill the headline
+
+
+def enhance_rtf(n_steps: int = 30, seconds: float = 2.0):
+    """Second headline: SGMSE enhancement real-time factor (wall s / audio s),
+    reference hook ``sgmse/sgmse/model.py:461-463``. Small NCSN++ backbone so
+    the driver-bench compile stays bounded; `scripts/bench_enhance_rtf.py
+    --full` measures the reference-size backbone (0.232 RTF, PARITY.md)."""
+    from task_aware_audio_coding_perceptual_tpu.models.sgmse.score_model import (
+        ScoreModel,
+        ScoreModelConfig,
+    )
+
+    cfg = ScoreModelConfig(
+        backbone="ncsnpp",
+        backbone_kwargs=(("nf", 32), ("ch_mult", (1, 1, 2)),
+                         ("num_res_blocks", 1), ("attn_resolutions", (16,))),
+    )
+    model = ScoreModel(cfg)
+    state = model.init(jax.random.key(0), spec_shape=(1, 1, 256, 64))
+    rng = np.random.default_rng(0)
+    noisy = rng.standard_normal(int(16000 * seconds)).astype(np.float32) * 0.1
+    _ = model.enhance(state.ema_params, jnp.asarray(noisy), key=jax.random.key(1), N=n_steps)
+    walls = []
+    for r in range(3):
+        t0 = time.perf_counter()
+        x_hat = model.enhance(
+            state.ema_params, jnp.asarray(noisy), key=jax.random.key(2 + r), N=n_steps
+        )
+        walls.append(time.perf_counter() - t0)
+    rtf = min(walls) / (len(noisy) / 16000.0)
+    assert np.isfinite(x_hat).all()
+    print(
+        json.dumps(
+            {
+                "metric": "enhance_rtf",
+                "value": round(rtf, 4),
+                "unit": "wall_s_per_audio_s",
+                "n_steps": n_steps,
+                "backbone_nf": 32,
+                "vs_baseline": round(1.0 / rtf, 2),
+            }
         )
     )
 
