@@ -94,13 +94,13 @@ def test_measure_rtf():
 
 
 def test_stoi_estoi_golden_regression():
-    """Frozen golden STOI/ESTOI values on deterministic speech+noise pairs.
-
-    pystoi itself is absent offline, so absolute cross-validation is
-    impossible here; these goldens freeze the pystoi-convention
-    implementation (exclusive-stop framing, Kaiser-sinc resampler) so any
-    numeric drift is caught, and the property block below checks the
-    metric axioms (identity=1, scale invariance, SNR monotonicity)."""
+    """REGRESSION-ONLY goldens: frozen self-snapshots of this implementation
+    on deterministic speech+noise pairs. They catch numeric drift, not
+    wrongness (pystoi absent offline). Absolute calibration lives in
+    ``test_metric_anchors.py``: the paper's one-third-octave filterbank
+    constants, resampler-vs-scipy cross-checks, and analytic tone anchors.
+    The property block below checks the metric axioms (identity=1, scale
+    invariance, SNR monotonicity)."""
     import importlib
 
     S = importlib.import_module("task_aware_audio_coding_perceptual_tpu.metrics.stoi")
@@ -130,8 +130,10 @@ def test_stoi_estoi_golden_regression():
 def test_pesq_p862_properties_and_golden():
     """P.862 port: identity hits the known MOS-LQO ceilings (4.64 wb /
     4.55 nb), strict SNR monotonicity, constant-delay robustness, scale
-    invariance; frozen goldens catch numeric drift (ITU package absent
-    offline — fidelity scoping in pesq_p862.py docstring)."""
+    invariance. The goldens are REGRESSION-ONLY self-snapshots (ITU package
+    absent offline — fidelity scoping in pesq_p862.py docstring); absolute
+    anchors (published mapping ceilings, level-alignment worked values,
+    lag-recovery) live in ``test_metric_anchors.py``."""
     from task_aware_audio_coding_perceptual_tpu.data import speech_synth
     from task_aware_audio_coding_perceptual_tpu.metrics.pesq_p862 import pesq_p862
 
