@@ -1,0 +1,160 @@
+"""Task-aware A/B: prove the gradient-flowing task loss moves a task metric.
+
+The repo's namesake capability (VERDICT r3 item 2; BASELINE.json config 4).
+The reference *intends* task-aware training — its v1/v2 trainers compute a
+frozen-head task loss on the decoded audio and add it to the objective
+(``train_pkl_file_task_aware_update.py:413-418``) — but its ``.item()``
+detachment makes the term a constant. This script runs the fixed-intent
+experiment twice with identical seeds/data/config:
+
+  A) task loss OFF (pure reconstruction objective)
+  B) task loss ON via ``task_gradient=True`` + :class:`TaskAwareFeatureLoss`
+     (frozen CTC head; gradients flow through ISTFT + head into the encoder)
+
+and reports, on the held-out Test split:
+
+  - the task metric: frozen-head logit MSE between decoded and clean audio
+    (exactly what a downstream ASR consumer of the codec sees)
+  - reconstruction metrics (avg MSE, spectral SNR) to show recon stays
+    within tolerance
+
+Done-criterion table -> results/task_aware_ab.json (+ stdout markdown).
+
+Usage:
+    python scripts/task_aware_ab.py --epochs 30 --task-weight 2.0
+"""
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="SpectralResE2D1",
+                   help="reference task-aware default, _update.py:355")
+    p.add_argument("--epochs", type=int, default=30)
+    p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--z-dim", type=int, default=256)
+    p.add_argument("--total-features-after", type=int, default=64)
+    p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--task-weight", type=float, default=2.0)
+    p.add_argument("--data-root", default="/tmp/spectral_corpus")
+    p.add_argument("--n-train", type=int, default=32)
+    p.add_argument("--n-test", type=int, default=8)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--report", default="results/task_aware_ab.json")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from task_aware_audio_coding_perceptual_tpu.data import chime
+    from task_aware_audio_coding_perceptual_tpu.data.datamodule import batch_iterator
+    from task_aware_audio_coding_perceptual_tpu.data.datasets import SpectralDataset
+    from task_aware_audio_coding_perceptual_tpu.models import task_aware
+    from task_aware_audio_coding_perceptual_tpu.train import spectral_train
+
+    clean_dir = os.path.join(args.data_root, "complex_specs_S02_P08")
+    if not os.path.isdir(os.path.join(clean_dir, "Train")):
+        print("generating speech-like correlated corpus ...", flush=True)
+        chime.write_speechlike_spectral_corpus(
+            args.data_root, n_train=args.n_train, n_test=args.n_test,
+            n_mics=4, seed=args.seed,
+        )
+    noisy_dirs = [
+        os.path.join(args.data_root, f"complex_specs_S02_P08_U0{m+2}.CH3")
+        for m in range(4)
+    ]
+
+    cfg = spectral_train.SpectralTrainConfig(
+        model=args.model,
+        batch_size=args.batch_size,
+        num_epochs=args.epochs,
+        lr=args.lr,
+        seed=args.seed,
+        z_dim=args.z_dim,
+        total_features_after=args.total_features_after,
+        out_dir="runs/task_ab_off",
+        normalize=True,
+        save_every=10**9,
+        weight_cross_penalty=0.01,
+        beta_kl=0.1,
+    )
+
+    # frozen CTC head shared by arm B's training and BOTH arms' evaluation
+    asr_apply, _ = task_aware.make_asr_head(seed=123, example_len=4000)
+    tl = task_aware.TaskAwareFeatureLoss(asr_apply, detached=False)
+
+    def eval_arm(state):
+        """Held-out recon metrics + frozen-head task logit-MSE."""
+        rec = spectral_train.evaluate_spectral_ae(
+            cfg, clean_dir, noisy_dirs, state, out_csv=None, normalize=True)
+        model = spectral_train.build_model(cfg)
+        ds = SpectralDataset(clean_dir, noisy_dirs, "Test",
+                             target_shape=(cfg.freq_dim, cfg.time_dim),
+                             normalize=True)
+
+        @jax.jit
+        def task_metric(variables, inputs, clean):
+            out = model.apply(variables, *inputs, random_bottle_neck=True,
+                              rngs={"bottleneck": jax.random.key(0)})
+            t_mse, _ = tl(out.obs_dec, clean)
+            return t_mse
+
+        vals = []
+        for batch in batch_iterator(ds, cfg.batch_size, shuffle=False):
+            if batch["clean_audio"]["magnitude"].shape[0] != cfg.batch_size:
+                continue
+            inputs = spectral_train._model_inputs(cfg, batch)
+            clean = {k: batch["clean_audio"][k] for k in ("magnitude", "phase")}
+            vals.append(float(task_metric(state.variables, inputs, clean)))
+        rec["task_logit_mse"] = float(np.mean(vals))
+        return rec
+
+    report = {"config": {k: getattr(args, k) for k in vars(args)}}
+    for arm, kwargs in (
+        ("task_off", {}),
+        ("task_on", dict(task_loss_fn=tl, task_gradient=True,
+                         task_weight=args.task_weight)),
+    ):
+        cfg = dataclasses.replace(cfg, out_dir=f"runs/task_ab_{arm}")
+        t0 = time.time()
+        _, state = spectral_train.train_spectral_ae(
+            cfg, clean_dir, noisy_dirs, **kwargs)
+        report[arm] = eval_arm(state)
+        report[arm]["train_seconds"] = round(time.time() - t0, 1)
+        print(f"[{arm}] {json.dumps(report[arm])}", flush=True)
+
+    off, on = report["task_off"], report["task_on"]
+    report["delta"] = {
+        "task_logit_mse_rel": (on["task_logit_mse"] - off["task_logit_mse"])
+        / max(off["task_logit_mse"], 1e-12),
+        "avg_mse_rel": (on["avg_mse"] - off["avg_mse"]) / max(off["avg_mse"], 1e-12),
+        "spec_snr_db": on["avg_spec_snr"] - off["avg_spec_snr"],
+    }
+    os.makedirs(os.path.dirname(args.report), exist_ok=True)
+    with open(args.report, "w") as f:
+        json.dump(report, f, indent=2)
+
+    print("\n| arm | task logit MSE | avg MSE | spec SNR (dB) |")
+    print("|---|---|---|---|")
+    for arm in ("task_off", "task_on"):
+        r = report[arm]
+        print(f"| {arm} | {r['task_logit_mse']:.6f} | {r['avg_mse']:.5f} "
+              f"| {r['avg_spec_snr']:.2f} |")
+    d = report["delta"]
+    print(f"\ntask metric change: {100*d['task_logit_mse_rel']:+.1f}% "
+          f"(negative = task-aware training helps the downstream head)")
+    print(f"recon cost: avg MSE {100*d['avg_mse_rel']:+.1f}%, "
+          f"spec SNR {d['spec_snr_db']:+.2f} dB")
+
+
+if __name__ == "__main__":
+    main()
