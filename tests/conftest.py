@@ -24,8 +24,17 @@ jax.config.update("jax_enable_x64", False)
 
 # Persistent compilation cache: the test box has ONE core, so XLA compile
 # time dominates the suite. Cache compiled executables across runs/files.
-_CACHE_DIR = os.path.join(os.path.dirname(__file__), ".jax_cache")
+_CACHE_DIR = os.environ.get(
+    "TACP_TEST_CACHE", os.path.join(os.path.dirname(__file__), ".jax_cache")
+)
 jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+
+# XLA's CPU backend spends most of the suite's wall time in compilation;
+# skipping the expensive optimization passes roughly halves compile time
+# and tests assert numerics, not performance. Opt out (e.g. to chase a
+# fusion-dependent numeric) with TACP_TEST_FULL_OPT=1.
+if not os.environ.get("TACP_TEST_FULL_OPT"):
+    jax.config.update("jax_disable_most_optimizations", True)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
