@@ -97,36 +97,66 @@ def probe_spectral(args):
 
 
 def probe_ncsnpp(args):
+    """Ablation probe for the NCSN++ reference-size compile blow-up
+    (VERDICT r3 item 9: 403 s first compile at nf=128, 7 levels).
+
+    Components that can be switched off to localize the cost:
+      --no-flash        einsum attention instead of the Pallas kernel
+      --no-fir          naive 2x resampling instead of upfirdn2d FIR
+      --no-progressive  disable input_skip/output_skip pyramids
+      --no-attn         drop the attention blocks entirely
+      --levels N        truncate ch_mult to its first N entries
+      --effort E        XLA exec_time_optimization_effort in [-1, 1]
+                        (lower = faster compile, less optimized code)
+    """
     import jax
     import jax.numpy as jnp
-    from task_aware_audio_coding_perceptual_tpu.models.sgmse.ncsnpp import NCSNpp
+    from task_aware_audio_coding_perceptual_tpu.models.sgmse.ncsnpp import NCSNppBase
 
-    model = NCSNpp(nf=args.nf, ch_mult=(1, 1, 2, 2), num_res_blocks=2,
-                   attn_resolutions=(16,), image_size=256)
-    x = jnp.zeros((1, 256, 64, 4))
-    t = jnp.ones((1,)) * 0.5
-    stages = {}
-    t0 = time.time()
-    params = jax.jit(model.init)(jax.random.key(0), x, t)
+    ch_mult = (1, 1, 2, 2, 2, 2, 2)[: args.levels]
+    model = NCSNppBase(
+        nf=args.nf,
+        ch_mult=ch_mult,
+        num_res_blocks=2,
+        attn_resolutions=() if args.no_attn else (16,),
+        fir=not args.no_fir,
+        progressive="none" if args.no_progressive else "output_skip",
+        progressive_input="none" if args.no_progressive else "input_skip",
+        use_flash=False if args.no_flash else None,
+    )
+    # reference training shape: n_fft 510 -> 256 freq bins, 256 frames
+    x4 = jnp.zeros((args.batch, 256, args.time, 4))
+    t = jnp.full((args.batch,), 0.5)
+    opts = (
+        {"exec_time_optimization_effort": args.effort}
+        if args.effort is not None
+        else None
+    )
+
+    def timed(name, fn, *a):
+        t0 = time.time()
+        lowered = jax.jit(fn).lower(*a)
+        traced = round(time.time() - t0, 1)
+        out = lowered.compile(compiler_options=opts)
+        dt = round(time.time() - t0, 1)
+        print(f"{name}: {dt}s (trace {traced}s)", flush=True)
+        return out, dt
+
+    compiled_init, t_init = timed("init", model.init, jax.random.key(0), x4, t)
+    params = compiled_init(jax.random.key(0), x4, t)
     jax.block_until_ready(params)
-    stages["init"] = round(time.time() - t0, 1)
-    print("init", stages["init"], flush=True)
 
-    t0 = time.time()
-    y = jax.jit(model.apply)(params, x, t)
-    jax.block_until_ready(y)
-    stages["forward"] = round(time.time() - t0, 1)
-    print("forward", stages["forward"], flush=True)
+    _, t_fwd = timed("forward", model.apply, params, x4, t)
 
     def loss(p):
-        return jnp.mean(model.apply(p, x, t) ** 2)
+        return jnp.mean(model.apply(p, x4, t) ** 2)
 
-    t0 = time.time()
-    g = jax.jit(jax.grad(loss))(params)
-    jax.block_until_ready(g)
-    stages["grad"] = round(time.time() - t0, 1)
-    print("grad", stages["grad"], flush=True)
-    return stages
+    _, t_grad = timed("grad", jax.grad(loss), params)
+    return {"init": t_init, "forward": t_fwd, "grad": t_grad,
+            "config": {"nf": args.nf, "levels": len(ch_mult),
+                       "flash": not args.no_flash, "fir": not args.no_fir,
+                       "progressive": not args.no_progressive,
+                       "attn": not args.no_attn, "effort": args.effort}}
 
 
 def main():
@@ -136,9 +166,22 @@ def main():
     p.add_argument("--time", type=int, default=600)
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--nf", type=int, default=32)
+    p.add_argument("--levels", type=int, default=7)
+    p.add_argument("--no-flash", action="store_true")
+    p.add_argument("--no-fir", action="store_true")
+    p.add_argument("--no-progressive", action="store_true")
+    p.add_argument("--no-attn", action="store_true")
+    p.add_argument("--effort", type=float, default=None,
+                   help="XLA exec_time_optimization_effort in [-1, 1]")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (JAX_PLATFORMS is too late "
+                        "on this box: sitecustomize pre-imports jax)")
     args = p.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     stages = probe_ncsnpp(args) if args.model == "ncsnpp" else probe_spectral(args)
     rec = {"model": args.model, "backend": jax.default_backend(),
