@@ -48,6 +48,9 @@ def main():
     p.add_argument("--ckpt", required=True, help="orbax save_single dir")
     p.add_argument("--out", required=True)
     p.add_argument("--gan", action="store_true", help="GAN train state layout")
+    p.add_argument("--channels", type=int, default=None,
+                   help="CodecConfig.channels of the trained model; stored "
+                        "in the artifact so loaders rebuild the right config")
     args = p.parse_args()
 
     import jax
@@ -71,6 +74,8 @@ def main():
 
     flat = {f"params{SEP}{k}": v for k, v in flatten(params).items()}
     flat["rvq_codebooks"] = np.asarray(rvq_codebooks)
+    if args.channels is not None:
+        flat["config_channels"] = np.asarray(args.channels)
     np.savez_compressed(args.out, **flat)
     size_mb = os.path.getsize(args.out) / 1e6
     print(f"wrote {args.out} ({size_mb:.1f} MB, {len(flat)} arrays)")

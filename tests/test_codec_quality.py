@@ -39,7 +39,12 @@ def _load():
     )
 
     params_tree, codebooks = load_artifact(ARTIFACT)
-    cfg = CodecConfig()
+    z = np.load(ARTIFACT)
+    channels = (
+        int(z["config_channels"]) if "config_channels" in z.files
+        else CodecConfig().channels
+    )
+    cfg = CodecConfig(channels=channels)
     model = NeuralAudioCodec(cfg)
     params = jax.tree.map(jnp.asarray, {"params": params_tree["params"]})
     cb = jnp.asarray(codebooks)
