@@ -108,6 +108,8 @@ def probe_ncsnpp(args):
       --levels N        truncate ch_mult to its first N entries
       --effort E        XLA exec_time_optimization_effort in [-1, 1]
                         (lower = faster compile, less optimized code)
+      --remat           nn.remat the resblocks (recompute-in-backward);
+                        shrinks the autodiff HLO the grad stage compiles
     """
     import jax
     import jax.numpy as jnp
@@ -123,6 +125,7 @@ def probe_ncsnpp(args):
         progressive="none" if args.no_progressive else "output_skip",
         progressive_input="none" if args.no_progressive else "input_skip",
         use_flash=False if args.no_flash else None,
+        remat=args.remat,
     )
     # reference training shape: n_fft 510 -> 256 freq bins, 256 frames
     x4 = jnp.zeros((args.batch, 256, args.time, 4))
@@ -156,7 +159,8 @@ def probe_ncsnpp(args):
             "config": {"nf": args.nf, "levels": len(ch_mult),
                        "flash": not args.no_flash, "fir": not args.no_fir,
                        "progressive": not args.no_progressive,
-                       "attn": not args.no_attn, "effort": args.effort}}
+                       "attn": not args.no_attn, "effort": args.effort,
+                       "remat": args.remat}}
 
 
 def main():
@@ -171,6 +175,7 @@ def main():
     p.add_argument("--no-fir", action="store_true")
     p.add_argument("--no-progressive", action="store_true")
     p.add_argument("--no-attn", action="store_true")
+    p.add_argument("--remat", action="store_true")
     p.add_argument("--effort", type=float, default=None,
                    help="XLA exec_time_optimization_effort in [-1, 1]")
     p.add_argument("--cpu", action="store_true",

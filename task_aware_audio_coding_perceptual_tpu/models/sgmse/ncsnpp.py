@@ -20,6 +20,7 @@ reference. Attention triggers when the frequency axis hits
 from __future__ import annotations
 
 import functools
+import itertools
 from typing import Sequence, Tuple
 
 import flax.linen as nn
@@ -66,6 +67,11 @@ class NCSNppBase(nn.Module):
     out_channels: int = 2
     # None = auto: Pallas flash attention on TPU, einsum reference elsewhere
     use_flash: "bool | None" = None
+    # Rematerialize resblocks: recompute activations in the backward pass
+    # instead of storing them. Shrinks both the autodiff HLO (faster remote
+    # compile at reference size) and training-time activation memory, for
+    # ~1 extra forward of FLOPs per block.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x4: jax.Array, time_cond: jax.Array, train: bool = False):
@@ -76,9 +82,11 @@ class NCSNppBase(nn.Module):
         all_resolutions = [self.image_size // (2**i) for i in range(num_resolutions)]
         combine_method = self.progressive_combine.lower()
 
-        ResBlock = functools.partial(
+        block_cls = (
             layerspp.ResnetBlockBigGANpp if self.resblock_type == "biggan"
-            else layerspp.ResnetBlockDDPMpp,
+            else layerspp.ResnetBlockDDPMpp
+        )
+        block_kw = dict(
             act=act,
             dropout=self.dropout,
             init_scale=self.init_scale,
@@ -86,9 +94,22 @@ class NCSNppBase(nn.Module):
             temb_dim=nf * 4 if self.conditional else None,
         )
         if self.resblock_type == "biggan":
-            ResBlock = functools.partial(
-                ResBlock, fir=self.fir, fir_kernel=self.fir_kernel
-            )
+            block_kw.update(fir=self.fir, fir_kernel=self.fir_kernel)
+        if self.remat:
+            # static_argnums: `train` (arg 3 of __call__, counting self) is a
+            # python bool. Explicit names replicate flax's auto-numbering of
+            # the unwrapped class so params stay interchangeable with
+            # remat=False (nn.remat would otherwise name scopes
+            # "Checkpoint<cls>_N").
+            ckpt_cls = nn.remat(block_cls, static_argnums=(3,))
+            counter = itertools.count()
+
+            def ResBlock(**kw):
+                name = f"{block_cls.__name__}_{next(counter)}"
+                return ckpt_cls(name=name, **block_kw, **kw)
+
+        else:
+            ResBlock = functools.partial(block_cls, **block_kw)
         use_flash = (
             jax.default_backend() == "tpu" if self.use_flash is None else self.use_flash
         )
@@ -254,6 +275,7 @@ class NCSNpp(nn.Module):
     scale_by_sigma: bool = True
     dropout: float = 0.0
     use_flash: "bool | None" = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, time_cond: jax.Array, train: bool = False):
@@ -268,6 +290,7 @@ class NCSNpp(nn.Module):
             sigma_scale_before_output=True,
             dropout=self.dropout,
             use_flash=self.use_flash,
+            remat=self.remat,
         )(x4, time_cond, train)
         return _channels_to_complex(h)
 
@@ -283,6 +306,7 @@ class NCSNpp_v2(nn.Module):
     attn_resolutions: Tuple[int, ...] = (16,)
     dropout: float = 0.0
     use_flash: "bool | None" = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, y: jax.Array, t: jax.Array, train: bool = False):
@@ -295,6 +319,7 @@ class NCSNpp_v2(nn.Module):
             scale_by_sigma=False,
             dropout=self.dropout,
             use_flash=self.use_flash,
+            remat=self.remat,
         )(x4, t, train)
         return _channels_to_complex(h)
 
@@ -310,6 +335,7 @@ class NCSNpp_48k(nn.Module):
     centered: bool = True
     scale_by_sigma: bool = True
     dropout: float = 0.0
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, time_cond: jax.Array, train: bool = False):
@@ -325,5 +351,6 @@ class NCSNpp_48k(nn.Module):
             scale_by_sigma=self.scale_by_sigma,
             sigma_scale_before_output=False,
             dropout=self.dropout,
+            remat=self.remat,
         )(x4, time_cond, train)
         return _channels_to_complex(h)

@@ -185,6 +185,30 @@ def test_ncsnpp_forward(rng):
     assert np.isfinite(np.asarray(out).real).all()
 
 
+def test_ncsnpp_remat_parity(rng):
+    """remat=True recomputes resblock activations in the backward pass; it
+    must change neither the forward output nor the gradients."""
+    x = _cplx(rng, (1, 2, 32, 32))
+    t = jnp.asarray([0.5])
+    base = NCSNpp(**TINY)
+    params = base.init(jax.random.key(0), x, t)
+    rem = NCSNpp(**TINY, remat=True)
+
+    def loss(m, p):
+        return jnp.mean(jnp.abs(m.apply(p, x, t, True)) ** 2)
+
+    out_a = base.apply(params, x, t, True)
+    out_b = rem.apply(params, x, t, True)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=1e-6)
+    g_a = jax.grad(lambda p: loss(base, p))(params)
+    g_b = jax.grad(lambda p: loss(rem, p))(params)
+    from jax.flatten_util import ravel_pytree
+
+    la, _ = ravel_pytree(g_a)
+    lb, _ = ravel_pytree(g_b)
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=1e-5)
+
+
 def test_ncsnpp_v2_forward(rng):
     model = NCSNpp_v2(**TINY)
     x = _cplx(rng, (2, 1, 32, 32))
