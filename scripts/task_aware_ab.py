@@ -50,6 +50,8 @@ def main():
     p.add_argument("--n-test", type=int, default=8)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--report", default="results/task_aware_ab.json")
+    p.add_argument("--force", action="store_true",
+                   help="retrain arms even if present in --report")
     args = p.parse_args()
 
     import jax
@@ -118,12 +120,25 @@ def main():
         rec["task_logit_mse"] = float(np.mean(vals))
         return rec
 
+    # Resume semantics: arms already present in an existing report file are
+    # reused (a TPU wedge must not discard a finished multi-hour arm).
     report = {"config": {k: getattr(args, k) for k in vars(args)}}
+    if os.path.exists(args.report) and not args.force:
+        with open(args.report) as f:
+            prior = json.load(f)
+        for arm in ("task_off", "task_on"):
+            if arm in prior:
+                report[arm] = prior[arm]
+                print(f"[{arm}] reusing prior result from {args.report}", flush=True)
+
+    os.makedirs(os.path.dirname(args.report), exist_ok=True)
     for arm, kwargs in (
         ("task_off", {}),
         ("task_on", dict(task_loss_fn=tl, task_gradient=True,
                          task_weight=args.task_weight)),
     ):
+        if arm in report:
+            continue
         cfg = dataclasses.replace(cfg, out_dir=f"runs/task_ab_{arm}")
         t0 = time.time()
         _, state = spectral_train.train_spectral_ae(
@@ -131,6 +146,8 @@ def main():
         report[arm] = eval_arm(state)
         report[arm]["train_seconds"] = round(time.time() - t0, 1)
         print(f"[{arm}] {json.dumps(report[arm])}", flush=True)
+        with open(args.report, "w") as f:  # flush per arm: wedge-resilient
+            json.dump(report, f, indent=2)
 
     off, on = report["task_off"], report["task_on"]
     report["delta"] = {

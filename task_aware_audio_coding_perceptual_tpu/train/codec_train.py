@@ -44,6 +44,22 @@ class CodecLossWeights:
     # phase underdetermined, so time-domain SI-SDR climbs very slowly; a
     # small direct pressure fixes that (0 keeps the legacy loss graph).
     si_sdr: float = 0.0
+    # Optional overrides for the spectral-loss FFT stacks (None = library
+    # defaults). Smaller stacks shrink the compiled graph for short clips.
+    mrstft_ffts: "tuple[int, ...] | None" = None
+    mrstft_hops: "tuple[int, ...] | None" = None
+    mel_ffts: "tuple[int, ...] | None" = None
+    mel_hops: "tuple[int, ...] | None" = None
+
+    def spectral_loss_kwargs(self) -> tuple[dict, dict]:
+        """(mrstft kwargs, mel kwargs) honoring any FFT-stack overrides."""
+        mr = {}
+        if self.mrstft_ffts is not None:
+            mr = {"n_ffts": tuple(self.mrstft_ffts), "hops": tuple(self.mrstft_hops)}
+        mel = {}
+        if self.mel_ffts is not None:
+            mel = {"n_ffts": tuple(self.mel_ffts), "hops": tuple(self.mel_hops)}
+        return mr, mel
 
 
 def create_train_state(
@@ -87,8 +103,9 @@ def codec_loss(
     w_hat = y[..., 0]
     l1 = losses.l1_time_loss(w, w_hat)
     l2 = losses.l2_time_loss(w, w_hat)
-    mrstft = losses.multi_resolution_stft_loss(w, w_hat)
-    mel = losses.multi_resolution_mel_loss(w, w_hat, sample_rate=sample_rate)
+    mr_kw, mel_kw = weights.spectral_loss_kwargs()
+    mrstft = losses.multi_resolution_stft_loss(w, w_hat, **mr_kw)
+    mel = losses.multi_resolution_mel_loss(w, w_hat, sample_rate=sample_rate, **mel_kw)
     loss = (
         weights.l1 * l1
         + weights.l2 * l2

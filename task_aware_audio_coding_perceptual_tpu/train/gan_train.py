@@ -100,8 +100,11 @@ def make_gan_train_step(
             w, w_hat = wav[..., 0], y[..., 0]
             l1 = losses.l1_time_loss(w, w_hat)
             l2 = losses.l2_time_loss(w, w_hat)
-            mrstft = losses.multi_resolution_stft_loss(w, w_hat)
-            mel = losses.multi_resolution_mel_loss(w, w_hat, sample_rate=sample_rate)
+            mr_kw, mel_kw = weights.spectral_loss_kwargs()
+            mrstft = losses.multi_resolution_stft_loss(w, w_hat, **mr_kw)
+            mel = losses.multi_resolution_mel_loss(
+                w, w_hat, sample_rate=sample_rate, **mel_kw
+            )
 
             logits_fake, fmaps_fake = disc.apply(state.disc_params, y_bct)
             _, fmaps_real = disc.apply(state.disc_params, wav_bct)

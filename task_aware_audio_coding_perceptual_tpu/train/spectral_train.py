@@ -184,19 +184,26 @@ def make_spectral_train_step(model, cfg: SpectralTrainConfig, tx,
     return train_step
 
 
-def make_indexed_train_step(model, cfg: SpectralTrainConfig, tx):
+def make_indexed_train_step(model, cfg: SpectralTrainConfig, tx,
+                            task_loss_fn=None, task_weight: float = 1.0):
     """Device-resident variant: the full train set lives in HBM as one
     pytree; each step receives only a (B,) index vector and gathers its
     batch on-device inside the same jitted program.
 
     Rationale: a (4-obs, 1025, 600) float32 batch is ~78 MB; shipping it
     through the TPU relay every step made an epoch take minutes. With the
-    data staged once, a step transfers 4 int32s.
+    data staged once, a step transfers 4 int32s. The task-aware head
+    (``task_loss_fn``, gradient-flowing) runs on the on-device gathered
+    clean batch, so task-aware training is transfer-free too.
     """
-    base_step = make_spectral_train_step(model, cfg, tx)
+    base_step = make_spectral_train_step(
+        model, cfg, tx, task_loss_fn=task_loss_fn, task_weight=task_weight)
 
     def train_step(state: SpectralTrainState, data: dict, idx: jax.Array, key):
         batch = jax.tree.map(lambda a: a[idx], data)
+        if task_loss_fn is not None:
+            clean = {k: batch["clean_audio"][k] for k in ("magnitude", "phase")}
+            return base_step(state, _model_inputs(cfg, batch), key, clean)
         return base_step(state, _model_inputs(cfg, batch), key)
 
     return train_step
@@ -275,12 +282,18 @@ def train_spectral_ae(
     else:
         train_step = jax.jit(make_spectral_train_step(model, cfg, tx))
 
-    # device-resident data: only possible without a task head (which needs
-    # host-side batches); transfers the set once instead of 78 MB per step
-    device_resident = cfg.device_resident and task_loss_fn is None
+    # device-resident data: transfers the set once instead of 78 MB per step.
+    # Works for plain and task_gradient training (the jittable head runs on
+    # the on-device clean batch); the logged-only v1 task mode still needs
+    # host batches for its eager side computation.
+    device_resident = cfg.device_resident and (
+        task_loss_fn is None or task_gradient)
     if device_resident:
         data_dev = stage_dataset_on_device(ds)
-        train_step_idx = jax.jit(make_indexed_train_step(model, cfg, tx))
+        train_step_idx = jax.jit(make_indexed_train_step(
+            model, cfg, tx,
+            task_loss_fn=task_loss_fn if task_gradient else None,
+            task_weight=task_weight))
 
     model_name = model.get_model_name()
     run_dir = os.path.join(cfg.out_dir, model_name)
@@ -307,6 +320,9 @@ def train_spectral_ae(
                 state, metrics, dim_info = train_step_idx(
                     state, data_dev, jnp.asarray(perm[s : s + cfg.batch_size]), kb
                 )
+                if task_gradient:
+                    task_mse_acc.append(float(metrics.pop("task_mse")))
+                    task_disc_acc.append(float(metrics.pop("task_disc")))
                 epoch_metrics.append({k: float(v) for k, v in metrics.items()})
                 steps += 1
                 if cfg.break_after_first_batch:

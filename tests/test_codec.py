@@ -192,19 +192,27 @@ def test_gan_multistep_matches_sequential(rng):
     from task_aware_audio_coding_perceptual_tpu.models.codec import CodecConfig
     from task_aware_audio_coding_perceptual_tpu.train import gan_train
 
+    from task_aware_audio_coding_perceptual_tpu.train.codec_train import CodecLossWeights
+
     config = CodecConfig(channels=4, latent_dim=8, strides=(2, 4),
                          num_quantizers=2, codebook_size=32)
     small = dict(n_ffts=(64,), hop_lengths=(16,), win_lengths=(64,))
+    # single tiny FFT stack: the equivalence claim is about the step/scan
+    # structure, not the loss stack, and the small graph compiles ~3x faster
+    tiny_w = CodecLossWeights(mrstft_ffts=(64,), mrstft_hops=(16,),
+                              mel_ffts=(64,), mel_hops=(16,))
     model, disc, state, gtx, dtx = gan_train.create_gan_state(
         config, jax.random.key(0), disc_filters=4, disc_kwargs=small)
     wavs = jnp.asarray(rng.standard_normal((2, 2, config.hop * 16, 1)).astype(np.float32))
 
-    step = jax.jit(gan_train.make_gan_train_step(model, disc, gtx, dtx, use_pallas=False))
+    step = jax.jit(gan_train.make_gan_train_step(model, disc, gtx, dtx,
+                                                 weights=tiny_w, use_pallas=False))
     s_seq = state
     for k in range(2):
         s_seq, _ = step(s_seq, wavs[k], 1.0)
 
     multi = jax.jit(gan_train.make_gan_train_multistep(model, disc, gtx, dtx,
+                                                       weights=tiny_w,
                                                        use_pallas=False))
     s_multi, m = multi(state, wavs, 1.0)
     assert int(s_multi.step) == int(s_seq.step) == 2
@@ -218,13 +226,18 @@ def test_adv_scale_zero_freezes_disc(rng):
     from task_aware_audio_coding_perceptual_tpu.models.codec import CodecConfig
     from task_aware_audio_coding_perceptual_tpu.train import gan_train
 
+    from task_aware_audio_coding_perceptual_tpu.train.codec_train import CodecLossWeights
+
     config = CodecConfig(channels=4, latent_dim=8, strides=(2, 4),
                          num_quantizers=2, codebook_size=32)
     small = dict(n_ffts=(64,), hop_lengths=(16,), win_lengths=(64,))
+    tiny_w = CodecLossWeights(mrstft_ffts=(64,), mrstft_hops=(16,),
+                              mel_ffts=(64,), mel_hops=(16,))
     model, disc, state, gtx, dtx = gan_train.create_gan_state(
         config, jax.random.key(0), disc_filters=4, disc_kwargs=small)
     wav = jnp.asarray(rng.standard_normal((2, config.hop * 16, 1)).astype(np.float32))
-    step = jax.jit(gan_train.make_gan_train_step(model, disc, gtx, dtx, use_pallas=False))
+    step = jax.jit(gan_train.make_gan_train_step(model, disc, gtx, dtx,
+                                                 weights=tiny_w, use_pallas=False))
     new_state, _ = step(state, wav, 0.0)
     for a, b in zip(jax.tree.leaves(state.disc_params),
                     jax.tree.leaves(new_state.disc_params)):

@@ -71,11 +71,16 @@ def test_gan_train_step_runs(rng):
     config = CodecConfig(
         channels=4, latent_dim=8, strides=(2, 4), num_quantizers=2, codebook_size=32
     )
+    from task_aware_audio_coding_perceptual_tpu.train.codec_train import CodecLossWeights
+
     model, disc, state, gen_tx, disc_tx = gan_train.create_gan_state(
         config, jax.random.key(0), disc_filters=4, disc_kwargs=_SMALL
     )
+    tiny_w = CodecLossWeights(mrstft_ffts=(128,), mrstft_hops=(32,),
+                              mel_ffts=(128,), mel_hops=(32,))
     step = jax.jit(
-        gan_train.make_gan_train_step(model, disc, gen_tx, disc_tx, use_pallas=False)
+        gan_train.make_gan_train_step(model, disc, gen_tx, disc_tx,
+                                      weights=tiny_w, use_pallas=False)
     )
     # must exceed the largest discriminator n_fft (256 here, center=False)
     wav = jnp.asarray(rng.standard_normal((2, config.hop * 64, 1)).astype(np.float32))

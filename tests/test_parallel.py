@@ -20,6 +20,10 @@ from task_aware_audio_coding_perceptual_tpu.parallel import (
 from task_aware_audio_coding_perceptual_tpu.train import codec_train
 
 TINY = CodecConfig(channels=4, latent_dim=8, strides=(2, 2), num_quantizers=2, codebook_size=16)
+# single tiny FFT stack: sharding equivalence doesn't depend on the loss
+# stack and the small graph compiles ~3x faster on the one-core CPU box
+TINY_W = codec_train.CodecLossWeights(mrstft_ffts=(64,), mrstft_hops=(16,),
+                                      mel_ffts=(64,), mel_hops=(16,))
 
 
 def test_mesh_shapes():
@@ -32,7 +36,7 @@ def test_mesh_shapes():
 def test_dp_train_step_matches_single_device(rng):
     """The sharded step must produce the same loss/params as unsharded."""
     model, state, tx = codec_train.create_train_state(TINY, jax.random.key(0))
-    step = jax.jit(codec_train.make_train_step(model, tx, use_pallas=False))
+    step = jax.jit(codec_train.make_train_step(model, tx, weights=TINY_W, use_pallas=False))
     wav = jnp.asarray(rng.standard_normal((8, TINY.hop * 16, 1)).astype(np.float32))
 
     # single device
@@ -54,7 +58,7 @@ def test_dp_train_step_matches_single_device(rng):
 def test_tp_sharded_params_run(rng):
     mesh = make_mesh(8, tp=2)
     model, state, tx = codec_train.create_train_state(TINY, jax.random.key(0))
-    step = jax.jit(codec_train.make_train_step(model, tx, use_pallas=False))
+    step = jax.jit(codec_train.make_train_step(model, tx, weights=TINY_W, use_pallas=False))
     wav = jnp.asarray(rng.standard_normal((4, TINY.hop * 16, 1)).astype(np.float32))
     with jax.set_mesh(mesh):
         wav_s = jax.device_put(wav, NamedSharding(mesh, P("dp")))

@@ -187,26 +187,31 @@ def test_ncsnpp_forward(rng):
 
 def test_ncsnpp_remat_parity(rng):
     """remat=True recomputes resblock activations in the backward pass; it
-    must change neither the forward output nor the gradients."""
-    x = _cplx(rng, (1, 2, 32, 32))
+    must change neither the forward output nor the gradients (and the param
+    tree must stay name-compatible so checkpoints interchange)."""
+    kw = dict(nf=8, ch_mult=(1, 2), num_res_blocks=1, attn_resolutions=())
+    x = _cplx(rng, (1, 2, 16, 16))
     t = jnp.asarray([0.5])
-    base = NCSNpp(**TINY)
+    base = NCSNpp(**kw)
     params = base.init(jax.random.key(0), x, t)
-    rem = NCSNpp(**TINY, remat=True)
-
-    def loss(m, p):
-        return jnp.mean(jnp.abs(m.apply(p, x, t, True)) ** 2)
-
-    out_a = base.apply(params, x, t, True)
-    out_b = rem.apply(params, x, t, True)
-    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=1e-6)
-    g_a = jax.grad(lambda p: loss(base, p))(params)
-    g_b = jax.grad(lambda p: loss(rem, p))(params)
+    rem = NCSNpp(**kw, remat=True)
     from jax.flatten_util import ravel_pytree
 
-    la, _ = ravel_pytree(g_a)
-    lb, _ = ravel_pytree(g_b)
-    np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=1e-5)
+    @jax.jit
+    def diffs(params):
+        def loss(m, p):
+            out = m.apply(p, x, t, True)
+            return jnp.mean(jnp.abs(out) ** 2), out
+
+        (la, oa), ga = jax.value_and_grad(lambda p: loss(base, p), has_aux=True)(params)
+        (lb, ob), gb = jax.value_and_grad(lambda p: loss(rem, p), has_aux=True)(params)
+        fa, _ = ravel_pytree(ga)
+        fb, _ = ravel_pytree(gb)
+        return jnp.max(jnp.abs(oa - ob)), jnp.max(jnp.abs(fa - fb))
+
+    d_out, d_grad = diffs(params)
+    assert float(d_out) < 1e-6
+    assert float(d_grad) < 1e-5
 
 
 def test_ncsnpp_v2_forward(rng):
@@ -323,10 +328,10 @@ def test_dcunet_forward(rng):
     v = model.init(jax.random.key(0), spec, t)
     out = model.apply(v, spec, t)
     assert out.shape == (1, 1, 257, 33) and out.dtype == jnp.complex64
-    # time axis not divisible: pad mode fixes it transparently
+    # time axis not divisible: pad mode fixes it transparently (params are
+    # width-independent, so reuse v rather than paying a second init)
     spec2 = _cplx(rng, (1, 2, 257, 30))
-    v2 = model.init(jax.random.key(0), spec2, t)
-    out2 = model.apply(v2, spec2, t)
+    out2 = model.apply(v, spec2, t)
     assert out2.shape == (1, 1, 257, 30)
 
 

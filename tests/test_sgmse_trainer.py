@@ -31,7 +31,7 @@ TINY_BB = (("nf", 8), ("ch_mult", (1, 2)), ("num_res_blocks", 1), ("attn_resolut
 @pytest.fixture(scope="module")
 def specs_root(tmp_path_factory):
     return write_synthetic_specs_dataset(
-        str(tmp_path_factory.mktemp("specs")), n_items=3, seconds=1.2
+        str(tmp_path_factory.mktemp("specs")), n_items=3, seconds=0.8
     )
 
 
@@ -40,8 +40,9 @@ def _tiny_model():
         backbone="ncsnpp", sde="ouve",
         backbone_kwargs=TINY_BB, sde_kwargs=(("N", 2),), num_eval_files=1,
     )
-    # 62-fft -> 32 freq bins; 64 frames
-    return ScoreModel(config, SpecTransforms(n_fft=62, hop_length=16, num_frames=64))
+    # 30-fft -> 16 freq bins; 32 frames (smallest graph that still
+    # exercises the full trainer; full-size shapes run on TPU scripts)
+    return ScoreModel(config, SpecTransforms(n_fft=30, hop_length=8, num_frames=32))
 
 
 def test_shard_eval_files():
@@ -54,7 +55,7 @@ def test_shard_eval_files():
 def test_train_sgmse_end_to_end(specs_root, tmp_path):
     model = _tiny_model()
     data = SpecsDataModule(
-        base_dir=specs_root, batch_size=2, n_fft=62, hop_length=16, num_frames=64
+        base_dir=specs_root, batch_size=2, n_fft=30, hop_length=8, num_frames=32
     )
     cfg = SgmseTrainerConfig(
         max_epochs=1, num_eval_files=1, eval_N=2,
@@ -73,8 +74,8 @@ def test_train_sgmse_end_to_end(specs_root, tmp_path):
 
 def test_evaluate_enhancement(specs_root):
     model = _tiny_model()
-    state = model.init(jax.random.key(0), spec_shape=(1, 1, 32, 64))
-    data = SpecsDataModule(base_dir=specs_root, batch_size=1, n_fft=62, hop_length=16, num_frames=64)
+    state = model.init(jax.random.key(0), spec_shape=(1, 1, 16, 32))
+    data = SpecsDataModule(base_dir=specs_root, batch_size=1, n_fft=30, hop_length=8, num_frames=32)
     data.setup()
     m = evaluate_enhancement(
         model, state.ema_params,
@@ -89,7 +90,7 @@ def test_make_enhance_fn(specs_root):
     import jax.numpy as jnp
 
     model = _tiny_model()
-    state = model.init(jax.random.key(0), spec_shape=(1, 1, 32, 64))
+    state = model.init(jax.random.key(0), spec_shape=(1, 1, 16, 32))
     fn = make_enhance_fn(model, state.ema_params, N=2)
     wav = jnp.asarray(np.random.default_rng(0).standard_normal((2, 1500)).astype(np.float32))
     out = fn(wav)

@@ -95,16 +95,13 @@ def test_task_aware_asr_loss(rng):
     disc = MultiScaleSTFTDiscriminator(filters=4, n_ffts=(256,), hop_lengths=(64,), win_lengths=(256,))
     dp = disc.init(jax.random.key(0), jnp.zeros((1, 1, 8000)))
 
-    loss = task_aware.TaskAwareASRLoss(asr_apply, disc, dp, detached=True)
-    mse, dl = loss(decoded, clean)
-    assert np.isfinite(float(mse)) and np.isfinite(float(dl))
-
-    # detached=True -> no gradient contribution
+    # detached=True -> finite loss, no gradient contribution
     def f(decoded):
         m, d = task_aware.TaskAwareASRLoss(asr_apply, disc, dp, detached=True)(decoded, clean)
         return m + d
 
-    g = jax.grad(f)(decoded)
+    val, g = jax.jit(jax.value_and_grad(f))(decoded)
+    assert np.isfinite(float(val))
     assert float(jnp.abs(g).max()) == 0.0
 
     # detached=False -> gradients flow
@@ -112,7 +109,7 @@ def test_task_aware_asr_loss(rng):
         m, d = task_aware.TaskAwareASRLoss(asr_apply, disc, dp, detached=False)(decoded, clean)
         return m + d
 
-    g2 = jax.grad(f2)(decoded)
+    g2 = jax.jit(jax.grad(f2))(decoded)
     assert float(jnp.abs(g2).max()) > 0.0
 
 
@@ -149,10 +146,36 @@ def test_task_aware_in_training_loop(tiny_dataset, tmp_path):
     assert rows and rows[0]["task_mse"] != ""
 
 
+def test_task_gradient_device_resident_matches_host(tiny_dataset, tmp_path):
+    """The device-resident indexed step (data staged in HBM, task head on the
+    on-device clean batch) must train identically to the host-batch path —
+    both shuffle with np.default_rng(seed+epoch) so batch order matches."""
+    clean_dir, noisy_dirs = tiny_dataset
+    asr_apply = task_aware.make_asr_head(example_len=4000)[0]
+    tl = task_aware.TaskAwareFeatureLoss(asr_apply, detached=False)
+
+    outs = []
+    for dev_res in (True, False):
+        cfg = _cfg(out_dir=str(tmp_path / f"dr{dev_res}"), num_epochs=1,
+                   device_resident=dev_res)
+        _, state = train_spectral_ae(
+            cfg, clean_dir, noisy_dirs[:2], task_loss_fn=tl,
+            task_gradient=True, task_weight=0.5, max_steps=2)
+        outs.append(state)
+    a = jnp.concatenate([x.ravel() for x in jax.tree.leaves(outs[0].variables["params"])])
+    b = jnp.concatenate([x.ravel() for x in jax.tree.leaves(outs[1].variables["params"])])
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+
+@pytest.mark.slow
 def test_task_aware_asr_loss_real_wav2vec2(rng):
     """VERDICT item 4a: a real (from-config, offline) FlaxWav2Vec2ForCTC as
     the frozen head, with gradients flowing into the decoded spectrograms
-    (reference head: train_pkl_file_task_aware.py:252-259)."""
+    (reference head: train_pkl_file_task_aware.py:252-259).
+
+    slow: tracing/compiling grad through the transformers Flax model is the
+    single most expensive compile in the suite (~100 s); the fast suite
+    covers the same TaskAwareASRLoss path with the proxy head."""
     B, F, T = 1, 65, 12
     decoded = jnp.asarray(rng.standard_normal((B, 2, F, T)).astype(np.float32))
     clean = {
