@@ -154,13 +154,22 @@ def probe_ncsnpp(args):
     def loss(p):
         return jnp.mean(model.apply(p, x4, t) ** 2)
 
-    _, t_grad = timed("grad", jax.grad(loss), params)
-    return {"init": t_init, "forward": t_fwd, "grad": t_grad,
-            "config": {"nf": args.nf, "levels": len(ch_mult),
-                       "flash": not args.no_flash, "fir": not args.no_fir,
-                       "progressive": not args.no_progressive,
-                       "attn": not args.no_attn, "effort": args.effort,
-                       "remat": args.remat}}
+    compiled_grad, t_grad = timed("grad", jax.grad(loss), params)
+    out = {"init": t_init, "forward": t_fwd, "grad": t_grad,
+           "config": {"nf": args.nf, "levels": len(ch_mult),
+                      "flash": not args.no_flash, "fir": not args.no_fir,
+                      "progressive": not args.no_progressive,
+                      "attn": not args.no_attn, "effort": args.effort,
+                      "remat": args.remat}}
+    if args.exec_iters:
+        jax.block_until_ready(compiled_grad(params))  # warm
+        t0 = time.time()
+        for _ in range(args.exec_iters):
+            g = compiled_grad(params)
+        jax.block_until_ready(g)
+        out["grad_exec_s"] = round((time.time() - t0) / args.exec_iters, 3)
+        print(f"grad exec: {out['grad_exec_s']}s/step", flush=True)
+    return out
 
 
 def main():
@@ -176,6 +185,9 @@ def main():
     p.add_argument("--no-progressive", action="store_true")
     p.add_argument("--no-attn", action="store_true")
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--exec-iters", type=int, default=0,
+                   help="also time N steady-state executions of the "
+                        "compiled grad (flash vs einsum step-time A/B)")
     p.add_argument("--effort", type=float, default=None,
                    help="XLA exec_time_optimization_effort in [-1, 1]")
     p.add_argument("--cpu", action="store_true",

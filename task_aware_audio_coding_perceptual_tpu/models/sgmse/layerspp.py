@@ -45,12 +45,22 @@ class AttnBlockpp(nn.Module):
     ``use_flash=True`` routes through the Pallas online-softmax kernel
     (``ops/attention.py``) — O(HW·C) memory instead of O((HW)^2), for
     fullband/48 kHz frame counts. Default path: MXU einsum + f32 softmax.
+
+    ``use_flash=None`` (auto) picks per-shape: flash on TPU when the
+    sequence is long enough to win (H*W >= 1024); the einsum path
+    otherwise. Measured at the reference training size (16x16 attention,
+    256 tokens, nf=128): einsum is faster to compile (94 s vs 159 s grad)
+    AND to execute (0.054 vs 0.062 s/step) — the flash kernel only pays
+    off once the O((HW)^2) score matrix stops fitting cache-friendly MXU
+    tiles (fullband 48 kHz frames, ~4k+ tokens).
     """
 
     channels: int
     skip_rescale: bool = False
     init_scale: float = 0.0
-    use_flash: bool = False
+    use_flash: "bool | None" = None
+
+    FLASH_MIN_SEQ = 1024
 
     @nn.compact
     def __call__(self, x):
@@ -68,7 +78,14 @@ class AttnBlockpp(nn.Module):
         q = q.reshape(B, H * W, C)
         k = k.reshape(B, H * W, C)
         v = v.reshape(B, H * W, C)
-        if self.use_flash:
+        use_flash = self.use_flash
+        if use_flash is None:
+            import jax
+
+            use_flash = (
+                jax.default_backend() == "tpu" and H * W >= self.FLASH_MIN_SEQ
+            )
+        if use_flash:
             h = flash_attention(q, k, v)
         else:
             h = attention_ref(q, k, v)

@@ -65,7 +65,8 @@ class NCSNppBase(nn.Module):
     centered: bool = True
     num_channels: int = 4  # x.real, x.imag, y.real, y.imag
     out_channels: int = 2
-    # None = auto: Pallas flash attention on TPU, einsum reference elsewhere
+    # None = auto: Pallas flash attention on TPU when the attention
+    # sequence is long (H*W >= AttnBlockpp.FLASH_MIN_SEQ); einsum otherwise
     use_flash: "bool | None" = None
     # Rematerialize resblocks: recompute activations in the backward pass
     # instead of storing them. Shrinks both the autodiff HLO (faster remote
@@ -110,12 +111,12 @@ class NCSNppBase(nn.Module):
 
         else:
             ResBlock = functools.partial(block_cls, **block_kw)
-        use_flash = (
-            jax.default_backend() == "tpu" if self.use_flash is None else self.use_flash
-        )
+        # use_flash=None passes through: AttnBlockpp decides per-shape
+        # (flash on TPU only when H*W >= FLASH_MIN_SEQ; einsum is faster to
+        # compile AND run at the reference 16x16 attention size).
         Attn = functools.partial(
             layerspp.AttnBlockpp, init_scale=self.init_scale,
-            skip_rescale=self.skip_rescale, use_flash=use_flash,
+            skip_rescale=self.skip_rescale, use_flash=self.use_flash,
         )
 
         # --- time embedding ---
