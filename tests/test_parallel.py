@@ -129,6 +129,8 @@ def test_sgmse_dp_train_step_matches_single_device(rng):
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow  # full-trainer DP integration; the step-level DP
+# equivalence above is the fast coverage
 def test_sgmse_trainer_dp_smoke(tmp_path, rng):
     """train_sgmse with cfg.dp=-1 runs sharded end-to-end on the virtual mesh."""
     from task_aware_audio_coding_perceptual_tpu.data.datamodule import SpecsDataModule

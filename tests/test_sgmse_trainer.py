@@ -52,6 +52,8 @@ def test_shard_eval_files():
     assert shard_eval_files(files, rank=0, world_size=1) == files
 
 
+@pytest.mark.slow  # full trainer loop (compile-heaviest integration);
+# train step/eval/ckpt components each have fast tests
 def test_train_sgmse_end_to_end(specs_root, tmp_path):
     model = _tiny_model()
     data = SpecsDataModule(
@@ -113,6 +115,8 @@ def test_cli_calc_metrics(specs_root, tmp_path, capsys):
     assert os.path.exists(os.path.join(enhanced, "_avg_results.txt"))
 
 
+@pytest.mark.slow  # CLI-level codec train integration; the GAN/codec train
+# steps themselves are covered fast in test_codec.py / test_msstftd.py
 def test_cli_train_codec(tmp_path):
     from task_aware_audio_coding_perceptual_tpu.cli import train_codec
     from task_aware_audio_coding_perceptual_tpu.data import wav_io
