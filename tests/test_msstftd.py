@@ -67,6 +67,8 @@ def test_discriminator_shapes_fullsize(rng):
     assert all(f.shape[0] == 2 and f.shape[-1] == 32 for fm in fmaps for f in fm)
 
 
+@pytest.mark.slow  # GAN step smoke; equivalence + freeze tests in
+# test_codec.py compile the same step family and stay fast
 def test_gan_train_step_runs(rng):
     config = CodecConfig(
         channels=4, latent_dim=8, strides=(2, 4), num_quantizers=2, codebook_size=32

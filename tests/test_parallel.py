@@ -55,6 +55,8 @@ def test_dp_train_step_matches_single_device(rng):
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow  # tp is a beyond-reference extra; dp equivalence is
+# the fast sharding coverage
 def test_tp_sharded_params_run(rng):
     mesh = make_mesh(8, tp=2)
     model, state, tx = codec_train.create_train_state(TINY, jax.random.key(0))

@@ -1,6 +1,7 @@
 """Differentiable PESQ-style loss tests: identity, monotonicity, gradients."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -52,6 +53,8 @@ def test_level_invariance(rng):
     assert abs(l1 - l2) < 0.05
 
 
+@pytest.mark.slow  # ScoreModel+PESQ-loss composition compile; the PESQ
+# loss math itself is covered fast above
 def test_score_model_pesq_weight_path(rng):
     from task_aware_audio_coding_perceptual_tpu.models.sgmse.score_model import (
         ScoreModel,

@@ -128,6 +128,8 @@ def test_task_aware_enhancement_loss(rng):
     assert np.isfinite(float(mse)) and np.isfinite(float(dl))
 
 
+@pytest.mark.slow  # v1 logged-only loop integration; task loss math is
+# covered fast by test_task_aware_asr_loss + flows_into_encoder
 def test_task_aware_in_training_loop(tiny_dataset, tmp_path):
     clean_dir, noisy_dirs = tiny_dataset
     cfg = _cfg(out_dir=str(tmp_path / "m2"), num_epochs=1, include_spec_loss=True)
@@ -146,6 +148,8 @@ def test_task_aware_in_training_loop(tiny_dataset, tmp_path):
     assert rows and rows[0]["task_mse"] != ""
 
 
+@pytest.mark.slow  # perf-path equivalence (2 task-step compiles);
+# test_task_gradient_flows_into_encoder is the fast task-gradient coverage
 def test_task_gradient_device_resident_matches_host(tiny_dataset, tmp_path):
     """The device-resident indexed step (data staged in HBM, task head on the
     on-device clean batch) must train identically to the host-batch path —
