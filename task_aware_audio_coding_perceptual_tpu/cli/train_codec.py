@@ -136,6 +136,12 @@ def main(argv=None):
                    help="held-out files for SI-SDR eval")
     p.add_argument("--resume", type=str, default=None,
                    help="checkpoint dir to resume from")
+    p.add_argument("--warm_start_npz", type=str, default=None,
+                   help="compact npz artifact (scripts/export_codec_ckpt.py) "
+                        "seeding generator params + RVQ codebooks; optimizer "
+                        "and discriminator start fresh")
+    p.add_argument("--start_step", type=int, default=0,
+                   help="global step counter to start at (with --warm_start_npz)")
     p.add_argument("--steps_per_call", type=int, default=8,
                    help="inner lax.scan steps per device call (adversarial path)")
     p.add_argument("--w_si_sdr", type=float, default=0.1,
@@ -204,6 +210,26 @@ def main(argv=None):
             start_step = int(latest)
             print(f"resumed from {args.resume} at step {start_step}")
         rmgr.close()
+
+    if args.warm_start_npz and start_step == 0:
+        from task_aware_audio_coding_perceptual_tpu.train.checkpoints import (
+            load_codec_artifact,
+        )
+
+        params_tree, codebooks = load_codec_artifact(args.warm_start_npz)
+        params_tree = jax.tree.map(jnp.asarray, params_tree)
+        cb = jnp.asarray(codebooks)
+        rvq0 = state.rvq.replace(
+            codebooks=cb,
+            ema_count=jnp.ones_like(state.rvq.ema_count),
+            ema_sum=cb.astype(jnp.float32),
+        )
+        if args.adversarial:
+            state = state.replace(gen_params=params_tree, rvq=rvq0)
+        else:
+            state = state.replace(params=params_tree, rvq=rvq0)
+        start_step = args.start_step
+        print(f"warm-started from {args.warm_start_npz} at step {start_step}")
 
     # data-driven RVQ init: sample a real batch, seed codebooks from latents
     if start_step == 0:

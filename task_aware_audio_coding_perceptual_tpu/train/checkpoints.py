@@ -84,3 +84,34 @@ def save_single(path: str, state: Any) -> None:
 def restore_single(path: str, state_template: Any) -> Any:
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(os.path.abspath(path), state_template)
+
+
+# ---------------------------------------------------------------------------
+# Compact npz inference artifacts (generator params + RVQ codebooks only).
+# Written by scripts/export_codec_ckpt.py; loaded here so CLIs and tests can
+# warm-start training runs from a committed artifact without orbax state.
+# The reference's analogue is its committed .pth checkpoints
+# (train_pkl_file_task_aware.py:693-702) reloaded by test_pkl_file_2.py:192.
+
+_ARTIFACT_SEP = "::"  # flax WeightNorm param names contain "/" themselves
+
+
+def _unflatten_artifact(flat):
+    tree: dict = {}
+    for k, v in flat.items():
+        parts = k.split(_ARTIFACT_SEP)
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
+def load_codec_artifact(path):
+    """Load an exported codec artifact back into (params_tree, codebooks)."""
+    import numpy as np
+
+    z = np.load(path)
+    pre = "params" + _ARTIFACT_SEP
+    flat = {k[len(pre):]: z[k] for k in z.files if k.startswith(pre)}
+    return _unflatten_artifact(flat), z["rvq_codebooks"]
