@@ -19,28 +19,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-SEP = "::"  # flax WeightNorm param names contain "/" themselves
-
-
-def flatten(tree, prefix=""):
-    out = {}
-    if isinstance(tree, dict):
-        for k, v in tree.items():
-            out.update(flatten(v, f"{prefix}{k}{SEP}"))
-    else:
-        out[prefix[: -len(SEP)]] = np.asarray(tree)
-    return out
-
-
-def unflatten(flat):
-    tree = {}
-    for k, v in flat.items():
-        parts = k.split(SEP)
-        node = tree
-        for p in parts[:-1]:
-            node = node.setdefault(p, {})
-        node[parts[-1]] = v
-    return tree
+# canonical artifact flatten/unflatten live in train/checkpoints.py (ADVICE r3:
+# keep one implementation so the artifact format cannot drift between the
+# exporter and the loader)
+from task_aware_audio_coding_perceptual_tpu.train.checkpoints import (  # noqa: E402
+    _ARTIFACT_SEP as SEP,
+    flatten_artifact as flatten,
+    unflatten_artifact as unflatten,
+    load_codec_artifact,
+)
 
 
 def main():
@@ -83,9 +70,7 @@ def main():
 
 def load_artifact(path):
     """Load the npz back into (params_tree, codebooks)."""
-    z = np.load(path)
-    flat_params = {k[len("params") + len(SEP):]: z[k] for k in z.files if k.startswith("params" + SEP)}
-    return unflatten(flat_params), z["rvq_codebooks"]
+    return load_codec_artifact(path)
 
 
 if __name__ == "__main__":

@@ -196,7 +196,7 @@ def main(argv=None):
             model, disc, gen_tx, disc_tx, weights=loss_weights))
         get_params = lambda s: s.gen_params
     else:
-        model, state, tx = codec_train.create_train_state(config, jax.random.key(0), args.lr)
+        model, state, tx = codec_train.create_train_state(config, jax.random.key(0), lr)
         base_step = jax.jit(codec_train.make_train_step(model, tx, weights=loss_weights))
         step_fn = lambda s, w, adv_scale: base_step(s, w)
         get_params = lambda s: s.params
@@ -211,12 +211,15 @@ def main(argv=None):
             print(f"resumed from {args.resume} at step {start_step}")
         rmgr.close()
 
+    warm_started = False
     if args.warm_start_npz and start_step == 0:
         from task_aware_audio_coding_perceptual_tpu.train.checkpoints import (
             load_codec_artifact,
         )
 
-        params_tree, codebooks = load_codec_artifact(args.warm_start_npz)
+        params_tree, codebooks = load_codec_artifact(
+            args.warm_start_npz, expect_channels=args.channels
+        )
         params_tree = jax.tree.map(jnp.asarray, params_tree)
         cb = jnp.asarray(codebooks)
         rvq0 = state.rvq.replace(
@@ -229,10 +232,13 @@ def main(argv=None):
         else:
             state = state.replace(params=params_tree, rvq=rvq0)
         start_step = args.start_step
+        warm_started = True
         print(f"warm-started from {args.warm_start_npz} at step {start_step}")
 
-    # data-driven RVQ init: sample a real batch, seed codebooks from latents
-    if start_step == 0:
+    # data-driven RVQ init: sample a real batch, seed codebooks from latents.
+    # Gated on NOT having warm-started: the artifact already carries trained
+    # codebooks, and re-seeding would silently discard them (ADVICE r3).
+    if start_step == 0 and not warm_started:
         seed_bs = max(1, min(args.batch_size, 16, len(files)))
         seed_wav = next(_wav_batches(files, seed_bs, args.seconds,
                                      args.sample_rate, config.hop, seed=9))

@@ -148,11 +148,13 @@ class OUVESDE(SDE):
 
     def prior_sampling(self, key, shape, y):
         std = self._std(jnp.ones((y.shape[0],)))
-        noise = jax.random.normal(key, y.shape, dtype=jnp.float32)
         if jnp.iscomplexobj(y):
+            kr, ki = jax.random.split(key)
             noise = (
-                jax.random.normal(key, y.shape) + 1j * jax.random.normal(jax.random.split(key)[0], y.shape)
+                jax.random.normal(kr, y.shape) + 1j * jax.random.normal(ki, y.shape)
             ) / np.sqrt(2.0)
+        else:
+            noise = jax.random.normal(key, y.shape, dtype=jnp.float32)
         return y + noise * _bcast(std, y)
 
 

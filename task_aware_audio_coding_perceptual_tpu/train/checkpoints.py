@@ -96,7 +96,21 @@ def restore_single(path: str, state_template: Any) -> Any:
 _ARTIFACT_SEP = "::"  # flax WeightNorm param names contain "/" themselves
 
 
-def _unflatten_artifact(flat):
+def flatten_artifact(tree, prefix=""):
+    """Flatten a nested params dict into {'a::b::c': ndarray} (canonical
+    artifact layout; scripts/export_codec_ckpt.py imports this)."""
+    import numpy as np
+
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(flatten_artifact(v, f"{prefix}{k}{_ARTIFACT_SEP}"))
+    else:
+        out[prefix[: -len(_ARTIFACT_SEP)]] = np.asarray(tree)
+    return out
+
+
+def unflatten_artifact(flat):
     tree: dict = {}
     for k, v in flat.items():
         parts = k.split(_ARTIFACT_SEP)
@@ -107,11 +121,28 @@ def _unflatten_artifact(flat):
     return tree
 
 
-def load_codec_artifact(path):
-    """Load an exported codec artifact back into (params_tree, codebooks)."""
+_unflatten_artifact = unflatten_artifact  # back-compat alias
+
+
+def load_codec_artifact(path, expect_channels=None):
+    """Load an exported codec artifact back into (params_tree, codebooks).
+
+    If the exporter stored ``config_channels`` (see
+    scripts/export_codec_ckpt.py ``--channels``), validate it against
+    ``expect_channels`` so a mismatched warm start fails with a clear
+    message instead of an opaque jit shape error later.
+    """
     import numpy as np
 
     z = np.load(path)
+    if expect_channels is not None and "config_channels" in z.files:
+        stored = int(z["config_channels"])
+        if stored != int(expect_channels):
+            raise ValueError(
+                f"codec artifact {path} was exported with channels={stored} "
+                f"but the model is built with channels={expect_channels}; "
+                "pass the matching --channels"
+            )
     pre = "params" + _ARTIFACT_SEP
     flat = {k[len(pre):]: z[k] for k in z.files if k.startswith(pre)}
-    return _unflatten_artifact(flat), z["rvq_codebooks"]
+    return unflatten_artifact(flat), z["rvq_codebooks"]

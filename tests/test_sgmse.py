@@ -69,6 +69,23 @@ def test_ouve_marginal_matches_em_simulation(rng):
     assert abs(x.std() - float(std_want[0])) < 0.01
 
 
+def test_ouve_prior_sampling_complex_noise_hygiene():
+    """Real/imag prior-noise components use independent child keys
+    (VERDICT r3 weak #7): uncorrelated, each with variance std^2/2."""
+    sde = OUVESDE()
+    y = jnp.zeros((4, 1, 64, 64), jnp.complex64)
+    x = np.asarray(sde.prior_sampling(jax.random.key(3), y.shape, y))
+    std = float(np.asarray(sde._std(jnp.ones(1)))[0])
+    re, im = x.real.ravel(), x.imag.ravel()
+    # independent halves: corr ~ 0, var each ~ std^2/2
+    corr = np.corrcoef(re, im)[0, 1]
+    assert abs(corr) < 0.03
+    assert abs(re.var() - std**2 / 2) < 0.05 * std**2
+    assert abs(im.var() - std**2 / 2) < 0.05 * std**2
+    # total complex variance E|x|^2 == std^2
+    assert abs((re.var() + im.var()) - std**2) < 0.05 * std**2
+
+
 def test_sbve_formulas():
     sde = SBVESDE()
     t = jnp.asarray([0.1, 0.5, 0.9])
