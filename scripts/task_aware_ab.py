@@ -90,12 +90,42 @@ def main():
         beta_kl=0.1,
     )
 
-    # frozen CTC head shared by arm B's training and BOTH arms' evaluation
+    # frozen CTC head used for arm B's TRAINING objective
     asr_apply, _ = task_aware.make_asr_head(seed=123, example_len=4000)
     tl = task_aware.TaskAwareFeatureLoss(asr_apply, detached=False)
 
+    # independent readout heads (VERDICT r3 item 3: the eval metric must not
+    # be the training loss): a from-config Flax Wav2Vec2-CTC — a *different
+    # architecture* (transformer) with different frozen weights — scores both
+    # arms, and a greedy-CTC token-agreement rate gives a discrete metric.
+    w2v2_apply, _ = task_aware.make_asr_head(hf_config={}, seed=999)
+
+    def _ctc_collapse(ids, blank=0):
+        out = []
+        prev = None
+        for i in ids:
+            if i != prev and i != blank:
+                out.append(int(i))
+            prev = i
+        return out
+
+    def _agreement(a, b):
+        """1 - normalized Levenshtein distance between token sequences."""
+        if not a and not b:
+            return 1.0
+        la, lb = len(a), len(b)
+        d = np.arange(lb + 1, dtype=np.int32)
+        for i in range(1, la + 1):
+            prev_diag, d[0] = d[0], i
+            for j in range(1, lb + 1):
+                cost = 0 if a[i - 1] == b[j - 1] else 1
+                prev_diag, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1,
+                                            prev_diag + cost)
+        return 1.0 - d[lb] / max(la, lb, 1)
+
     def eval_arm(state):
-        """Held-out recon metrics + frozen-head task logit-MSE."""
+        """Held-out recon metrics + proxy-head task logit-MSE (the training
+        objective, kept for continuity) + independent-head readouts."""
         rec = spectral_train.evaluate_spectral_ae(
             cfg, clean_dir, noisy_dirs, state, out_csv=None, normalize=True)
         model = spectral_train.build_model(cfg)
@@ -108,16 +138,31 @@ def main():
             out = model.apply(variables, *inputs, random_bottle_neck=True,
                               rngs={"bottleneck": jax.random.key(0)})
             t_mse, _ = tl(out.obs_dec, clean)
-            return t_mse
+            dec_wav = task_aware.batch_reconstruct_waveform(
+                out.obs_dec[:, 0], out.obs_dec[:, 1])
+            clean_wav = task_aware.batch_reconstruct_waveform(
+                clean["magnitude"], clean["phase"])
+            ind_dec = w2v2_apply(dec_wav)
+            ind_cln = w2v2_apply(clean_wav)
+            ind_mse = jnp.mean((ind_dec - ind_cln) ** 2)
+            return t_mse, ind_mse, jnp.argmax(ind_dec, -1), jnp.argmax(ind_cln, -1)
 
-        vals = []
+        vals, ind_vals, agree = [], [], []
         for batch in batch_iterator(ds, cfg.batch_size, shuffle=False):
             if batch["clean_audio"]["magnitude"].shape[0] != cfg.batch_size:
                 continue
             inputs = spectral_train._model_inputs(cfg, batch)
             clean = {k: batch["clean_audio"][k] for k in ("magnitude", "phase")}
-            vals.append(float(task_metric(state.variables, inputs, clean)))
+            t, ind, ids_d, ids_c = task_metric(state.variables, inputs, clean)
+            vals.append(float(t))
+            ind_vals.append(float(ind))
+            ids_d, ids_c = np.asarray(ids_d), np.asarray(ids_c)
+            for b in range(ids_d.shape[0]):
+                agree.append(_agreement(_ctc_collapse(ids_d[b]),
+                                        _ctc_collapse(ids_c[b])))
         rec["task_logit_mse"] = float(np.mean(vals))
+        rec["w2v2_logit_mse"] = float(np.mean(ind_vals))
+        rec["ctc_token_agreement"] = float(np.mean(agree))
         return rec
 
     # Resume semantics: arms already present in an existing report file are
@@ -153,6 +198,11 @@ def main():
     report["delta"] = {
         "task_logit_mse_rel": (on["task_logit_mse"] - off["task_logit_mse"])
         / max(off["task_logit_mse"], 1e-12),
+        "w2v2_logit_mse_rel": (on.get("w2v2_logit_mse", np.nan)
+                               - off.get("w2v2_logit_mse", np.nan))
+        / max(off.get("w2v2_logit_mse", 1e-12), 1e-12),
+        "ctc_token_agreement": on.get("ctc_token_agreement", np.nan)
+        - off.get("ctc_token_agreement", np.nan),
         "avg_mse_rel": (on["avg_mse"] - off["avg_mse"]) / max(off["avg_mse"], 1e-12),
         "spec_snr_db": on["avg_spec_snr"] - off["avg_spec_snr"],
     }
@@ -160,15 +210,19 @@ def main():
     with open(args.report, "w") as f:
         json.dump(report, f, indent=2)
 
-    print("\n| arm | task logit MSE | avg MSE | spec SNR (dB) |")
-    print("|---|---|---|---|")
+    print("\n| arm | task logit MSE | w2v2 logit MSE | tok agree | avg MSE | spec SNR (dB) |")
+    print("|---|---|---|---|---|---|")
     for arm in ("task_off", "task_on"):
         r = report[arm]
-        print(f"| {arm} | {r['task_logit_mse']:.6f} | {r['avg_mse']:.5f} "
-              f"| {r['avg_spec_snr']:.2f} |")
+        print(f"| {arm} | {r['task_logit_mse']:.6f} "
+              f"| {r.get('w2v2_logit_mse', float('nan')):.6f} "
+              f"| {r.get('ctc_token_agreement', float('nan')):.4f} "
+              f"| {r['avg_mse']:.5f} | {r['avg_spec_snr']:.2f} |")
     d = report["delta"]
     print(f"\ntask metric change: {100*d['task_logit_mse_rel']:+.1f}% "
           f"(negative = task-aware training helps the downstream head)")
+    print(f"independent-head: w2v2 logit MSE {100*d['w2v2_logit_mse_rel']:+.1f}%, "
+          f"CTC token agreement {d['ctc_token_agreement']:+.4f}")
     print(f"recon cost: avg MSE {100*d['avg_mse_rel']:+.1f}%, "
           f"spec SNR {d['spec_snr_db']:+.2f} dB")
 

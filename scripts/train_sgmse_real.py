@@ -63,6 +63,23 @@ def main():
     p.add_argument("--lr", type=float, default=2.5e-4)
     p.add_argument("--nf", type=int, default=64)
     p.add_argument("--num-res-blocks", type=int, default=2)
+    # variant axes (VERDICT r3 items 4+5): reference-size NCSN++, DCUNet
+    # backbone, and the SB-SDE/data-prediction path are live reference
+    # configs (sgmse/backbones/ncsnpp.py:50-72, dcunet.py:100-162,
+    # sdes.py:235-313) and need trained evidence, not just shape tests.
+    p.add_argument("--backbone", default="ncsnpp", choices=["ncsnpp", "dcunet"])
+    p.add_argument("--sde", default="ouve", choices=["ouve", "sbve"])
+    p.add_argument("--loss-type", default=None,
+                   help="score_matching (ouve default) | data_prediction (sbve default)")
+    p.add_argument("--ch-mult", default="1,1,2",
+                   help="ncsnpp channel multipliers; reference size is 1,1,2,2,2,2,2")
+    p.add_argument("--n-fft", type=int, default=None,
+                   help="STFT size (default 510; dcunet needs 512 -> F=257)")
+    p.add_argument("--report-key", default="flagship",
+                   help="'flagship' = legacy top-level report row; anything "
+                        "else appends under report['runs'][key]")
+    p.add_argument("--no-export", action="store_true",
+                   help="skip overwriting the golden ema artifact")
     p.add_argument("--data", default="/tmp/sgmse_data_r3")
     p.add_argument("--clean-pool", default="/tmp/speech_corpus")
     p.add_argument("--max-per-split", type=int, default=480)
@@ -90,15 +107,29 @@ def main():
 
     ensure_dataset(args.data, args.clean_pool, args.max_per_split)
 
-    cfg = ScoreModelConfig(
-        backbone="ncsnpp",
-        lr=args.lr,
-        backbone_kwargs=(("nf", args.nf), ("ch_mult", (1, 1, 2)),
-                         ("num_res_blocks", args.num_res_blocks),
-                         ("attn_resolutions", (16,))),
+    ch_mult = tuple(int(c) for c in args.ch_mult.split(","))
+    loss_type = args.loss_type or (
+        "data_prediction" if args.sde == "sbve" else "score_matching"
     )
-    model = ScoreModel(cfg)
-    data = SpecsDataModule(base_dir=args.data, batch_size=args.batch_size)
+    n_fft = args.n_fft or (512 if args.backbone == "dcunet" else 510)
+    backbone_kwargs = ()
+    if args.backbone == "ncsnpp":
+        backbone_kwargs = (("nf", args.nf), ("ch_mult", ch_mult),
+                           ("num_res_blocks", args.num_res_blocks),
+                           ("attn_resolutions", (16,)))
+    cfg = ScoreModelConfig(
+        backbone=args.backbone,
+        sde=args.sde,
+        loss_type=loss_type,
+        lr=args.lr,
+        backbone_kwargs=backbone_kwargs,
+    )
+    from task_aware_audio_coding_perceptual_tpu.models.sgmse.score_model import (
+        SpecTransforms,
+    )
+    model = ScoreModel(cfg, transforms=SpecTransforms(n_fft=n_fft))
+    data = SpecsDataModule(base_dir=args.data, batch_size=args.batch_size,
+                           n_fft=n_fft)
     tcfg = sgmse_train.SgmseTrainerConfig(
         max_epochs=10**9,  # bounded by max_steps
         max_steps=args.steps,
@@ -139,19 +170,32 @@ def main():
         model, state.ema_params, clean_files, noisy_files,
         num_eval_files=len(clean_files), N=args.eval_N,
     )
-    report = {
+    row = {
         "trained_steps": args.steps,
         "best_pesq_ckpt_step": best,
-        "backbone": {"nf": args.nf, "ch_mult": [1, 1, 2],
+        "backbone": {"name": args.backbone, "nf": args.nf,
+                     "ch_mult": list(ch_mult),
                      "num_res_blocks": args.num_res_blocks},
+        "sde": args.sde,
+        "loss_type": loss_type,
         "test_files": len(clean_files),
         "noisy_baseline": {k: round(float(v), 3) for k, v in base.items()},
         "enhanced": {k: round(float(v), 3) for k, v in enh.items()},
     }
-    print(json.dumps(report, indent=2), flush=True)
+    report = {}
+    if os.path.exists(args.report):
+        with open(args.report) as f:
+            report = json.load(f)
+    if args.report_key == "flagship":
+        report.update(row)
+    else:
+        report.setdefault("runs", {})[args.report_key] = row
+    print(json.dumps(row, indent=2), flush=True)
     os.makedirs(os.path.dirname(args.report), exist_ok=True)
     with open(args.report, "w") as f:
         json.dump(report, f, indent=2)
+    if args.no_export:
+        return
 
     # ---- compact artifact for the floor regression test -------------------
     flat = flatten(jax.tree.map(np.asarray, state.ema_params))

@@ -363,6 +363,48 @@ class ScoreModel:
 
         return run
 
+    def enhance_batched(
+        self,
+        params,
+        y: jax.Array,
+        key: Optional[jax.Array] = None,
+        predictor: str = "reverse_diffusion",
+        corrector: str = "ald",
+        N: int = 30,
+        corrector_steps: int = 1,
+        snr: float = 0.5,
+        **kwargs,
+    ) -> jax.Array:
+        """Differentiable batched enhancement: ``y`` (B, T) -> (B, T).
+
+        Unlike :meth:`enhance` this never leaves JAX (no ``np.asarray``), so
+        it can sit inside a jitted / grad-traced objective — the composition
+        the reference's flagship task-aware trainer intends
+        (``train_pkl_file_task_aware_update.py:242-253`` calls
+        ``enhance_audio`` inside the loss). One sampler program runs the
+        whole batch (B in the leading dim) instead of a per-item loop.
+        """
+        key = key if key is not None else jax.random.key(0)
+        T_orig = y.shape[-1]
+        norm = jnp.max(jnp.abs(y), axis=-1, keepdims=True) + 1e-8
+        yn = y / norm
+        Y = self.transforms.spec_fwd(self.transforms.stft(yn))[:, None]  # (B,1,F,T)
+        Y = dsp.pad_spec(Y)
+        cache_key = (
+            "batched", Y.shape, N, predictor, corrector, corrector_steps, snr,
+            tuple(sorted((k, repr(v)) for k, v in kwargs.items())),
+        )
+        run = self._sampler_cache.get(cache_key)
+        if run is None:
+            if len(self._sampler_cache) >= 32:
+                self._sampler_cache.pop(next(iter(self._sampler_cache)))
+            run = jax.jit(self._make_enhance_runner(
+                N, predictor, corrector, corrector_steps, snr, kwargs))
+            self._sampler_cache[cache_key] = run
+        sample, _ = run(params, key, Y)
+        x_hat = self.to_audio(sample[:, 0], T_orig)
+        return x_hat * norm
+
     def enhance(
         self,
         params,

@@ -288,14 +288,17 @@ def train_sgmse(
 def make_enhance_fn(model: ScoreModel, params, N: int = 30, **kwargs):
     """Frozen enhancement head for task-aware training (the role of the
     reference's ``test_single.enhance_audio`` import,
-    ``train_pkl_file_task_aware_update.py:34``)."""
+    ``train_pkl_file_task_aware_update.py:34``).
 
-    def enhance_fn(wav_batch: jax.Array) -> jax.Array:
-        outs = []
-        for i in range(wav_batch.shape[0]):
-            outs.append(
-                jnp.asarray(model.enhance(params, wav_batch[i], N=N, **kwargs))
-            )
-        return jnp.stack(outs)
+    Built on :meth:`ScoreModel.enhance_batched`, so the returned function is
+    differentiable and jit-safe: gradients flow through the sampler into
+    whatever produced ``wav_batch`` (the v2 task-aware composition,
+    VERDICT r3 item 2). ``params`` are closed over stop-gradient'ed — the
+    enhancer itself stays frozen.
+    """
+    frozen = jax.lax.stop_gradient(params)
+
+    def enhance_fn(wav_batch: jax.Array, key=None) -> jax.Array:
+        return model.enhance_batched(frozen, wav_batch, key=key, N=N, **kwargs)
 
     return enhance_fn
