@@ -198,7 +198,10 @@ def main(argv=None):
     else:
         model, state, tx = codec_train.create_train_state(config, jax.random.key(0), lr)
         base_step = jax.jit(codec_train.make_train_step(model, tx, weights=loss_weights))
-        step_fn = lambda s, w, adv_scale: base_step(s, w)
+        multi_step = jax.jit(codec_train.make_train_multistep(model, tx, weights=loss_weights))
+        step_fn = lambda s, w, adv_scale: (
+            base_step(s, w) if w.ndim == 3 else multi_step(s, w)
+        )
         get_params = lambda s: s.params
 
     start_step = 0
@@ -254,9 +257,6 @@ def main(argv=None):
     reseed_fn = jax.jit(rvq_lib.reseed_dead_codes)
     encode_fn = jax.jit(lambda p, w: model.apply(p, w, method=NeuralAudioCodec.encode))
 
-    if not args.adversarial:
-        # non-GAN path keeps the simple per-step loop
-        args.steps_per_call = 1
     K = max(1, args.steps_per_call)
     clips = preload_corpus(files, args.sample_rate)
     T = int(args.seconds * args.sample_rate)

@@ -165,3 +165,30 @@ def make_train_step(
         )
 
     return train_step
+
+
+def make_train_multistep(
+    model: NeuralAudioCodec,
+    tx: optax.GradientTransformation,
+    weights: CodecLossWeights = CodecLossWeights(),
+    sample_rate: int = 16000,
+    ema_decay: float = 0.99,
+    use_pallas: bool = True,
+):
+    """K inner steps per device call via ``lax.scan`` (the non-adversarial
+    analogue of ``gan_train.make_gan_train_multistep``). On the axon TPU
+    relay each dispatch costs ~40-50 ms round-trip; scanning K steps inside
+    one program amortizes that to ~(40/K) ms/step and moves the whole
+    (K, B, T, 1) super-batch in one transfer."""
+
+    step = make_train_step(model, tx, weights, sample_rate, ema_decay, use_pallas)
+
+    def multistep(state: CodecTrainState, wavs: jax.Array):
+        def body(carry, wav):
+            new_state, metrics = step(carry, wav)
+            return new_state, metrics
+
+        state, ms = jax.lax.scan(body, state, wavs)
+        return state, jax.tree.map(lambda m: m[-1], ms)
+
+    return multistep

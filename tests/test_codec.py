@@ -221,6 +221,36 @@ def test_gan_multistep_matches_sequential(rng):
         np.asarray(jax.tree.leaves(s_seq.gen_params)[0]), rtol=2e-5, atol=2e-6)
 
 
+def test_codec_multistep_matches_sequential(rng):
+    """K scanned non-adversarial steps == K sequential per-step calls
+    (the relay-amortizing fast path train_codec uses for polish runs)."""
+    from task_aware_audio_coding_perceptual_tpu.models.codec import CodecConfig
+    from task_aware_audio_coding_perceptual_tpu.train import codec_train
+    from task_aware_audio_coding_perceptual_tpu.train.codec_train import CodecLossWeights
+
+    config = CodecConfig(channels=4, latent_dim=8, strides=(2, 4),
+                         num_quantizers=2, codebook_size=32)
+    tiny_w = CodecLossWeights(mrstft_ffts=(64,), mrstft_hops=(16,),
+                              mel_ffts=(64,), mel_hops=(16,), si_sdr=0.5)
+    model, state, tx = codec_train.create_train_state(config, jax.random.key(0))
+    wavs = jnp.asarray(rng.standard_normal((2, 2, config.hop * 16, 1)).astype(np.float32))
+
+    step = jax.jit(codec_train.make_train_step(model, tx, weights=tiny_w,
+                                               use_pallas=False))
+    s_seq = state
+    for k in range(2):
+        s_seq, _ = step(s_seq, wavs[k])
+
+    multi = jax.jit(codec_train.make_train_multistep(model, tx, weights=tiny_w,
+                                                     use_pallas=False))
+    s_multi, m = multi(state, wavs)
+    assert int(s_multi.step) == int(s_seq.step) == 2
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(s_multi.params)[0]),
+        np.asarray(jax.tree.leaves(s_seq.params)[0]), rtol=2e-5, atol=2e-6)
+    assert np.isfinite(float(m["loss"]))
+
+
 def test_adv_scale_zero_freezes_disc(rng):
     """adv_scale=0 (warmup): disc params don't move, gen still trains."""
     from task_aware_audio_coding_perceptual_tpu.models.codec import CodecConfig
