@@ -151,8 +151,10 @@ def test_pesq_p862_properties_and_golden():
         np.testing.assert_allclose(v, golden[f"pesq_wb_snr{snr}"], atol=1e-8)
         assert v > prev
         prev = v
-    # robust to a constant 10 ms offset (envelope alignment)
+    # robust to a constant 10 ms offset (envelope alignment): scores like
+    # the undelayed SNR-20 condition (~2.9 after the r4 disturbance
+    # calibration), not like a catastrophic misalignment (<1.5)
     delayed = np.roll(x + noise * 0.1, 160)
-    assert pesq_p862(16000, x, delayed, "wb") > 3.0
+    assert pesq_p862(16000, x, delayed, "wb") > 2.5
     # level alignment makes the score gain-invariant
     assert abs(pesq_p862(16000, x, 0.1 * x, "wb") - pesq_p862(16000, x, x, "wb")) < 1e-9
