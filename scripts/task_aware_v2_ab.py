@@ -35,10 +35,14 @@ import numpy as np
 
 ARTIFACT = os.path.join(os.path.dirname(__file__), "..", "tests", "golden",
                         "sgmse_ema_params.npz")
-# must match scripts/train_sgmse_real.py's flagship backbone flags
+# must match scripts/train_sgmse_real.py's flagship backbone flags, plus
+# remat: the task loss differentiates through the sampler, and storing every
+# resblock activation for N reverse steps x batch OOMs the 16G chip (34.7G
+# requested); remat recomputes them in the backward at ~29% step cost with
+# checkpoint-compatible parameter naming.
 BACKBONE_KWARGS = (
     ("nf", 64), ("ch_mult", (1, 1, 2)), ("num_res_blocks", 2),
-    ("attn_resolutions", (16,)),
+    ("attn_resolutions", (16,)), ("remat", True),
 )
 
 
@@ -63,12 +67,12 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="SpectralResE2D1")
     p.add_argument("--epochs", type=int, default=24)
-    p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--batch-size", type=int, default=2)
     p.add_argument("--z-dim", type=int, default=256)
     p.add_argument("--total-features-after", type=int, default=64)
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--task-weight", type=float, default=1.0)
-    p.add_argument("--train-N", type=int, default=4,
+    p.add_argument("--train-N", type=int, default=3,
                    help="reverse-diffusion steps inside the training loss")
     p.add_argument("--eval-N", type=int, default=10)
     p.add_argument("--data-root", default="/tmp/spectral_corpus_v2")

@@ -80,6 +80,8 @@ def main():
                         "else appends under report['runs'][key]")
     p.add_argument("--no-export", action="store_true",
                    help="skip overwriting the golden ema artifact")
+    p.add_argument("--steps-per-call", type=int, default=8,
+                   help="K scanned steps per device call on the staged path")
     p.add_argument("--data", default="/tmp/sgmse_data_r3")
     p.add_argument("--clean-pool", default="/tmp/speech_corpus")
     p.add_argument("--max-per-split", type=int, default=480)
@@ -138,6 +140,7 @@ def main():
         eval_every_epochs=args.eval_every_epochs,
         log_dir=args.out,
         stage_on_device=True,
+        steps_per_call=args.steps_per_call,
     )
     t0 = time.time()
     state = sgmse_train.train_sgmse(model, data, tcfg)

@@ -74,6 +74,23 @@ def test_train_sgmse_end_to_end(specs_root, tmp_path):
     assert int(state2.step) >= int(state.step)
 
 
+@pytest.mark.slow
+def test_train_sgmse_staged_multistep(specs_root, tmp_path):
+    """Staged-on-device path with K scanned steps per dispatch (the relay
+    fast path scripts/train_sgmse_real.py uses) runs and counts steps."""
+    model = _tiny_model()
+    data = SpecsDataModule(
+        base_dir=specs_root, batch_size=1, n_fft=30, hop_length=8, num_frames=32
+    )
+    cfg = SgmseTrainerConfig(
+        max_epochs=1, num_eval_files=0, eval_N=2,
+        log_dir=str(tmp_path / "logs_ms"), max_steps=4,
+        stage_on_device=True, steps_per_call=2,
+    )
+    state = train_sgmse(model, data, cfg)
+    assert int(state.step) >= 2
+
+
 def test_evaluate_enhancement(specs_root):
     model = _tiny_model()
     state = model.init(jax.random.key(0), spec_shape=(1, 1, 16, 32))
