@@ -86,9 +86,10 @@ def test_trained_codec_heldout_si_sdr():
 
     scores = np.asarray(roundtrip(jnp.asarray(wav)))
     assert np.isfinite(scores).all()
-    # the committed artifact (30k-step GAN recipe + 12k-step low-lr
-    # SI-SDR polish, runs/codec_polish) measured [5.21, 4.47, 5.28, 6.12]
-    # dB (mean +5.27) on these exact seeds; the floor leaves margin for
-    # cross-backend numeric drift, not quality drift
-    assert scores.mean() > 4.0, scores
-    assert scores.min() > 3.0, scores
+    # the committed ch48 artifact (r4: 30k base + low-lr polish + two
+    # w_si_sdr=3.0 continuation phases to 72k steps on the 6000-utterance
+    # corpus, results/warmstart/codec_ch48_p4_72k.npz) measured
+    # [6.77, 4.75, 7.42, 8.62] dB (mean +6.89) on these exact seeds; the
+    # floor leaves margin for cross-backend numeric drift, not quality drift
+    assert scores.mean() > 5.5, scores
+    assert scores.min() > 3.8, scores
