@@ -102,46 +102,58 @@ def main():
 
 
 def enhance_rtf(n_steps: int = 30, seconds: float = 2.0):
-    """Second headline: SGMSE enhancement real-time factor (wall s / audio s),
-    reference hook ``sgmse/sgmse/model.py:461-463``. Small NCSN++ backbone so
-    the driver-bench compile stays bounded; `scripts/bench_enhance_rtf.py
-    --full` measures the reference-size backbone (0.232 RTF, PARITY.md)."""
+    """Enhancement real-time factor (wall s / audio s), reference hook
+    ``sgmse/sgmse/model.py:461-463``. Two lines: the small backbone the r3
+    driver captured, then the REFERENCE-size backbone (nf=128, ch_mult
+    (1,1,2,2,2,2,2), ``sgmse/sgmse/backbones/ncsnpp.py:50-72``) LAST so the
+    driver's parsed headline is the honest reference-size number
+    (VERDICT r3 weak #5)."""
     from task_aware_audio_coding_perceptual_tpu.models.sgmse.score_model import (
         ScoreModel,
         ScoreModelConfig,
     )
 
-    cfg = ScoreModelConfig(
-        backbone="ncsnpp",
-        backbone_kwargs=(("nf", 32), ("ch_mult", (1, 1, 2)),
-                         ("num_res_blocks", 1), ("attn_resolutions", (16,))),
+    sizes = (
+        ("small", 32, (1, 1, 2), 1),
+        ("reference", 128, (1, 1, 2, 2, 2, 2, 2), 2),
     )
-    model = ScoreModel(cfg)
-    state = model.init(jax.random.key(0), spec_shape=(1, 1, 256, 64))
-    rng = np.random.default_rng(0)
-    noisy = rng.standard_normal(int(16000 * seconds)).astype(np.float32) * 0.1
-    _ = model.enhance(state.ema_params, jnp.asarray(noisy), key=jax.random.key(1), N=n_steps)
-    walls = []
-    for r in range(3):
-        t0 = time.perf_counter()
-        x_hat = model.enhance(
-            state.ema_params, jnp.asarray(noisy), key=jax.random.key(2 + r), N=n_steps
+    for label, nf, ch_mult, nrb in sizes:
+        cfg = ScoreModelConfig(
+            backbone="ncsnpp",
+            backbone_kwargs=(("nf", nf), ("ch_mult", ch_mult),
+                             ("num_res_blocks", nrb),
+                             ("attn_resolutions", (16,))),
         )
-        walls.append(time.perf_counter() - t0)
-    rtf = min(walls) / (len(noisy) / 16000.0)
-    assert np.isfinite(x_hat).all()
-    print(
-        json.dumps(
-            {
-                "metric": "enhance_rtf",
-                "value": round(rtf, 4),
-                "unit": "wall_s_per_audio_s",
-                "n_steps": n_steps,
-                "backbone_nf": 32,
-                "vs_baseline": round(1.0 / rtf, 2),
-            }
+        model = ScoreModel(cfg)
+        state = model.init(jax.random.key(0), spec_shape=(1, 1, 256, 64))
+        rng = np.random.default_rng(0)
+        noisy = rng.standard_normal(int(16000 * seconds)).astype(np.float32) * 0.1
+        _ = model.enhance(state.ema_params, jnp.asarray(noisy),
+                          key=jax.random.key(1), N=n_steps)
+        walls = []
+        for r in range(3):
+            t0 = time.perf_counter()
+            x_hat = model.enhance(
+                state.ema_params, jnp.asarray(noisy), key=jax.random.key(2 + r),
+                N=n_steps,
+            )
+            walls.append(time.perf_counter() - t0)
+        rtf = min(walls) / (len(noisy) / 16000.0)
+        assert np.isfinite(x_hat).all()
+        print(
+            json.dumps(
+                {
+                    "metric": "enhance_rtf",
+                    "value": round(rtf, 4),
+                    "unit": "wall_s_per_audio_s",
+                    "n_steps": n_steps,
+                    "backbone": label,
+                    "backbone_nf": nf,
+                    "vs_baseline": round(1.0 / rtf, 2),
+                }
+            ),
+            flush=True,
         )
-    )
 
 
 if __name__ == "__main__":

@@ -10,6 +10,7 @@ from task_aware_audio_coding_perceptual_tpu.models.sgmse.shared import (  # noqa
 )
 # importing the backbone modules registers them
 from task_aware_audio_coding_perceptual_tpu.models.sgmse import ncsnpp as _ncsnpp  # noqa: F401,E402
+from task_aware_audio_coding_perceptual_tpu.models.sgmse import dcunet as _dcunet  # noqa: F401,E402
 from task_aware_audio_coding_perceptual_tpu.models.sgmse.sdes import (  # noqa: F401
     SDERegistry,
     OUVESDE,

@@ -165,13 +165,30 @@ class _ComplexConvTranspose(nn.Module):
 
 
 class _OnReImBatchNorm(nn.Module):
-    """Separate real/imag batch norm (reference 'bN', ``dcunet.py:29-37,336-342``)."""
+    """Separate real/imag batch norm (reference 'bN', ``dcunet.py:29-37,336-342``).
+
+    Stateless batch statistics: normalize over (batch, H, W) with learned
+    scale/bias, no running averages. ``flax.linen.BatchNorm`` with
+    ``use_running_average=False`` writes a mutable ``batch_stats``
+    collection, which the functional ScoreModel train step (pure params in,
+    params out) does not thread; always-batch-stats is the standard speech
+    simplification and keeps DCUNet a drop-in backbone for the same trainer
+    as NCSN++ (which uses GroupNorm and has no such state)."""
+
+    eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        bn_r = nn.BatchNorm(use_running_average=not train, name="re")
-        bn_i = nn.BatchNorm(use_running_average=not train, name="im")
-        return bn_r(x.real) + 1j * bn_i(x.imag)
+        def bn(h, name):
+            c = h.shape[-1]
+            scale = self.param(f"{name}_scale", nn.initializers.ones, (c,))
+            bias = self.param(f"{name}_bias", nn.initializers.zeros, (c,))
+            axes = tuple(range(h.ndim - 1))
+            mean = jnp.mean(h, axis=axes, keepdims=True)
+            var = jnp.var(h, axis=axes, keepdims=True)
+            return (h - mean) / jnp.sqrt(var + self.eps) * scale + bias
+
+        return bn(x.real, "re") + 1j * bn(x.imag, "im")
 
 
 class _TembProject(nn.Module):

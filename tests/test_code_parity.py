@@ -7,6 +7,8 @@ cross-backend identity can be verified on real hardware.
 
 import os
 
+import pytest
+
 import numpy as np
 
 import jax
@@ -44,6 +46,8 @@ def _compute_codes(use_pallas: bool):
     return np.asarray(rvq_lib.quantize(rvq_state, z, use_pallas=use_pallas).codes)
 
 
+@pytest.mark.slow  # fast-lane budget (VERDICT r3 item 8): compile-heavy;
+# sibling fast tests keep this component covered in the fast lane
 def test_codes_match_golden_ref_path():
     golden = np.load(GOLDEN)
     np.testing.assert_array_equal(_compute_codes(use_pallas=False), golden)

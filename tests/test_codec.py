@@ -187,6 +187,8 @@ def test_rvq_reseed_dead_codes(rng):
     assert np.all(np.asarray(new_state.ema_count[0, :8]) == 1.0)
 
 
+@pytest.mark.slow  # fast-lane budget (VERDICT r3 item 8): compile-heavy;
+# sibling fast tests keep this component covered in the fast lane
 def test_gan_multistep_matches_sequential(rng):
     """K scanned GAN steps == K sequential calls of the per-step fn."""
     from task_aware_audio_coding_perceptual_tpu.models.codec import CodecConfig
@@ -221,6 +223,8 @@ def test_gan_multistep_matches_sequential(rng):
         np.asarray(jax.tree.leaves(s_seq.gen_params)[0]), rtol=2e-5, atol=2e-6)
 
 
+@pytest.mark.slow  # fast-lane budget (VERDICT r3 item 8): compile-heavy;
+# sibling fast tests keep this component covered in the fast lane
 def test_codec_multistep_matches_sequential(rng):
     """K scanned non-adversarial steps == K sequential per-step calls
     (the relay-amortizing fast path train_codec uses for polish runs)."""

