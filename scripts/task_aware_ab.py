@@ -198,14 +198,24 @@ def main():
     report["delta"] = {
         "task_logit_mse_rel": (on["task_logit_mse"] - off["task_logit_mse"])
         / max(off["task_logit_mse"], 1e-12),
-        "w2v2_logit_mse_rel": (on.get("w2v2_logit_mse", np.nan)
-                               - off.get("w2v2_logit_mse", np.nan))
-        / max(off.get("w2v2_logit_mse", 1e-12), 1e-12),
-        "ctc_token_agreement": on.get("ctc_token_agreement", np.nan)
-        - off.get("ctc_token_agreement", np.nan),
         "avg_mse_rel": (on["avg_mse"] - off["avg_mse"]) / max(off["avg_mse"], 1e-12),
         "spec_snr_db": on["avg_spec_snr"] - off["avg_spec_snr"],
     }
+    # ADVICE r4: an arm resumed from a pre-w2v2/ctc report lacks these keys;
+    # NaN would serialize as a bare (non-strict-JSON) literal — write null
+    # by omission-aware guards instead
+    if "w2v2_logit_mse" in on and "w2v2_logit_mse" in off:
+        report["delta"]["w2v2_logit_mse_rel"] = (
+            on["w2v2_logit_mse"] - off["w2v2_logit_mse"]
+        ) / max(off["w2v2_logit_mse"], 1e-12)
+    else:
+        report["delta"]["w2v2_logit_mse_rel"] = None
+    if "ctc_token_agreement" in on and "ctc_token_agreement" in off:
+        report["delta"]["ctc_token_agreement"] = (
+            on["ctc_token_agreement"] - off["ctc_token_agreement"]
+        )
+    else:
+        report["delta"]["ctc_token_agreement"] = None
     os.makedirs(os.path.dirname(args.report), exist_ok=True)
     with open(args.report, "w") as f:
         json.dump(report, f, indent=2)
@@ -221,8 +231,9 @@ def main():
     d = report["delta"]
     print(f"\ntask metric change: {100*d['task_logit_mse_rel']:+.1f}% "
           f"(negative = task-aware training helps the downstream head)")
-    print(f"independent-head: w2v2 logit MSE {100*d['w2v2_logit_mse_rel']:+.1f}%, "
-          f"CTC token agreement {d['ctc_token_agreement']:+.4f}")
+    if d["w2v2_logit_mse_rel"] is not None and d["ctc_token_agreement"] is not None:
+        print(f"independent-head: w2v2 logit MSE {100*d['w2v2_logit_mse_rel']:+.1f}%, "
+              f"CTC token agreement {d['ctc_token_agreement']:+.4f}")
     print(f"recon cost: avg MSE {100*d['avg_mse_rel']:+.1f}%, "
           f"spec SNR {d['spec_snr_db']:+.2f} dB")
 

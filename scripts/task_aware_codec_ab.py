@@ -91,8 +91,12 @@ def main():
     model = NeuralAudioCodec(config)
     files = sorted(glob.glob(os.path.join(args.wav_dir, "**", "*.wav"),
                              recursive=True))
-    n_eval = min(args.eval_files, len(files) // 10)
+    # ADVICE r4: with a tiny corpus len(files)//10 is 0, making files[-0:]
+    # the WHOLE pool and train_files empty — clamp and assert instead
+    n_eval = max(1, min(args.eval_files, len(files) // 10))
     eval_pool, train_files = files[-n_eval:], files[:-n_eval]
+    assert train_files, (
+        f"corpus under {args.wav_dir} too small to split ({len(files)} files)")
     T = int(args.seconds * 16000)
     T -= T % config.hop
 

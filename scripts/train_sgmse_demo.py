@@ -86,13 +86,13 @@ def main():
     data.setup()
     clean_files = data.valid_set.clean_files[: args.eval_files]
     noisy_files = data.valid_set.noisy_files[: args.eval_files]
-    base = {"pesq": 0.0, "si_sdr": 0.0, "estoi": 0.0}
+    base = {"pesq_proxy": 0.0, "si_sdr": 0.0, "estoi": 0.0}
     for cf, nf in zip(clean_files, noisy_files):
         x, sr = wav_io.load(cf)
         y, _ = wav_io.load(nf)
         L = min(x.shape[-1], y.shape[-1])
         x, y = x[0][:L], y[0][:L]
-        base["pesq"] += M.pesq_p862(16000, x, y, "wb") / len(clean_files)
+        base["pesq_proxy"] += M.pesq_p862(16000, x, y, "wb") / len(clean_files)
         base["si_sdr"] += M.si_sdr(x, y) / len(clean_files)
         base["estoi"] += M.stoi(x, y, sr, extended=True) / len(clean_files)
 

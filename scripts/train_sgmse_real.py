@@ -92,6 +92,11 @@ def main():
     p.add_argument("--test-files", type=int, default=20)
     p.add_argument("--export", default="tests/golden/sgmse_ema_params.npz")
     p.add_argument("--report", default="results/sgmse_enhancement_report.json")
+    p.add_argument("--select-metric", default="si_sdr",
+                   choices=["si_sdr", "pesq_proxy", "estoi"],
+                   help="in-training best-checkpoint selection metric "
+                        "(si_sdr default: proxy-pesq selection shipped a bad "
+                        "DCUNet checkpoint in round 4)")
     args = p.parse_args()
 
     import jax
@@ -141,30 +146,33 @@ def main():
         log_dir=args.out,
         stage_on_device=True,
         steps_per_call=args.steps_per_call,
+        select_metric=args.select_metric,
     )
     t0 = time.time()
     state = sgmse_train.train_sgmse(model, data, tcfg)
     print(f"trained {args.steps} steps in {time.time()-t0:.0f}s", flush=True)
 
-    # ---- held-out test report: best-pesq checkpoint, >= 20 files ----------
+    # ---- held-out test report: best checkpoint (select-metric), >= 20 files
     mgr = CheckpointManager(os.path.join(args.out, "checkpoints"),
-                            max_to_keep=3, best_metric="pesq", best_mode="max")
+                            max_to_keep=3, best_metric=args.select_metric,
+                            best_mode="max")
     best = mgr.best_step()
     if best is not None:
-        print(f"restoring best-pesq checkpoint @ step {best}", flush=True)
+        print(f"restoring best-{args.select_metric} checkpoint @ step {best}",
+              flush=True)
         state = mgr.restore(state, step=best)
     mgr.close()
 
     data.setup()
     clean_files = data.test_set.clean_files[: args.test_files]
     noisy_files = data.test_set.noisy_files[: args.test_files]
-    base = {"pesq": 0.0, "si_sdr": 0.0, "estoi": 0.0}
+    base = {"pesq_proxy": 0.0, "si_sdr": 0.0, "estoi": 0.0}
     for cf, nf_ in zip(clean_files, noisy_files):
         x, sr = wav_io.load(cf)
         y, _ = wav_io.load(nf_)
         L = min(x.shape[-1], y.shape[-1])
         x, y = x[0][:L], y[0][:L]
-        base["pesq"] += M.pesq_p862(16000, x, y, "wb") / len(clean_files)
+        base["pesq_proxy"] += M.pesq_p862(16000, x, y, "wb") / len(clean_files)
         base["si_sdr"] += M.si_sdr(x, y) / len(clean_files)
         base["estoi"] += M.stoi(x, y, sr, extended=True) / len(clean_files)
 
@@ -175,7 +183,8 @@ def main():
     )
     row = {
         "trained_steps": args.steps,
-        "best_pesq_ckpt_step": best,
+        "best_ckpt_step": best,
+        "select_metric": args.select_metric,
         "backbone": {"name": args.backbone, "nf": args.nf,
                      "ch_mult": list(ch_mult),
                      "num_res_blocks": args.num_res_blocks},

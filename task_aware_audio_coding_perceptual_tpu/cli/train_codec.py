@@ -123,6 +123,9 @@ def main(argv=None):
     p.add_argument("--num_quantizers", type=int, default=8)
     p.add_argument("--codebook_size", type=int, default=1024)
     p.add_argument("--channels", type=int, default=32)
+    p.add_argument("--lstm_layers", type=int, default=0,
+                   help="EnCodec-style causal LSTM layers at the bottleneck "
+                        "(encoder output + decoder input; 0 = off)")
     p.add_argument("--adversarial", action="store_true", help="enable MS-STFT GAN")
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--lr", type=float, default=3e-4)
@@ -161,6 +164,7 @@ def main(argv=None):
     config = CodecConfig(
         sample_rate=args.sample_rate, channels=args.channels,
         num_quantizers=args.num_quantizers, codebook_size=args.codebook_size,
+        lstm_layers=args.lstm_layers,
     )
     T_eval = int(args.seconds * args.sample_rate)
     T_eval -= T_eval % config.hop
@@ -221,7 +225,8 @@ def main(argv=None):
         )
 
         params_tree, codebooks = load_codec_artifact(
-            args.warm_start_npz, expect_channels=args.channels
+            args.warm_start_npz, expect_channels=args.channels,
+            expect_lstm_layers=args.lstm_layers,
         )
         params_tree = jax.tree.map(jnp.asarray, params_tree)
         cb = jnp.asarray(codebooks)

@@ -44,6 +44,12 @@ class CodecConfig:
     dtype: str = "float32"
     upsample_mode: str = "transpose"  # "transpose" | "subpixel"
     weight_norm: bool = True  # weight-normalized convs (EnCodec/BigVGAN style)
+    # EnCodec-style causal LSTM at the bottleneck (0 = off). Applied with a
+    # residual skip at latent rate (50 Hz) on both the encoder output and the
+    # decoder input; gives the codec temporal context beyond the conv
+    # receptive field while staying streaming-causal (VERDICT r4 item 2's
+    # "temporal module" capacity lever).
+    lstm_layers: int = 0
 
     @property
     def hop(self) -> int:
@@ -198,6 +204,83 @@ class CausalSubpixelUpsample(nn.Module):
         return y.reshape(B, T * self.stride, self.features), ns
 
 
+class LSTMLayer(nn.Module):
+    """One causal LSTM layer over (B, T, D) with a residual skip.
+
+    TPU-shaped: the input projection for ALL four gates over ALL time steps
+    is one big (B*T, D) x (D, 4D) matmul outside the recurrence (MXU), so the
+    ``lax.scan`` body carries only the tiny h @ W_hh matmul. The recurrent
+    kernel is captured as a plain array in the scan closure — no module calls
+    inside the scan body. Forget-gate bias starts at +1 (standard LSTM init).
+    """
+
+    dim: int
+    dtype: object = jnp.float32
+
+    def setup(self):
+        self.wx = nn.Dense(4 * self.dim, dtype=self.dtype)
+        self.wh = self.param(
+            "wh", nn.initializers.orthogonal(), (self.dim, 4 * self.dim)
+        )
+
+    def _scan(self, gx, h0, c0):
+        wh = self.wh.astype(gx.dtype)
+
+        def body(carry, g_t):
+            h, c = carry
+            gates = g_t + h @ wh
+            i, f, g, o = jnp.split(gates, 4, axis=-1)
+            c2 = jax.nn.sigmoid(f + 1.0) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+            h2 = jax.nn.sigmoid(o) * jnp.tanh(c2)
+            return (h2, c2), h2
+
+        (h, c), ys = jax.lax.scan(body, (h0, c0), jnp.swapaxes(gx, 0, 1))
+        return jnp.swapaxes(ys, 0, 1), (h, c)
+
+    def __call__(self, x):
+        gx = self.wx(x)
+        zeros = jnp.zeros((x.shape[0], self.dim), gx.dtype)
+        ys, _ = self._scan(gx, zeros, zeros)
+        return x + ys
+
+    def init_state(self, batch: int, dtype=jnp.float32):
+        return (jnp.zeros((batch, self.dim), dtype),
+                jnp.zeros((batch, self.dim), dtype))
+
+    def step(self, x, state):
+        gx = self.wx(x)
+        h0, c0 = (s.astype(gx.dtype) for s in state)
+        ys, new_state = self._scan(gx, h0, c0)
+        return x + ys, new_state
+
+
+class CausalLSTM(nn.Module):
+    """Stack of residual causal LSTM layers (EnCodec bottleneck module)."""
+
+    dim: int
+    layers: int
+    dtype: object = jnp.float32
+
+    def setup(self):
+        self.cells = [LSTMLayer(self.dim, dtype=self.dtype)
+                      for _ in range(self.layers)]
+
+    def __call__(self, x):
+        for cell in self.cells:
+            x = cell(x)
+        return x
+
+    def init_state(self, batch: int, dtype=jnp.float32):
+        return tuple(c.init_state(batch, dtype) for c in self.cells)
+
+    def step(self, x, state):
+        new = []
+        for cell, s in zip(self.cells, state):
+            x, ns = cell.step(x, s)
+            new.append(ns)
+        return x, tuple(new)
+
+
 class ResidualUnit(nn.Module):
     """dilated conv k=7 -> act -> conv k=1, residual add (SoundStream-style)."""
 
@@ -337,32 +420,43 @@ class CodecEncoder(nn.Module):
         ]
         self.final_act = _act(cfg.activation, dims[-1])
         self.head = CausalConv(cfg.latent_dim, 3, dtype=dt, weight_norm=wn)
+        if cfg.lstm_layers:
+            self.lstm = CausalLSTM(cfg.latent_dim, cfg.lstm_layers, dtype=dt)
 
     def __call__(self, x):
         """x: (B, T, 1) waveform -> (B, T/hop, latent_dim)."""
         h = self.stem(x)
         for b in self.blocks:
             h = b(h)
-        return self.head(self.final_act(h))
+        z = self.head(self.final_act(h))
+        if self.config.lstm_layers:
+            z = self.lstm(z)
+        return z
 
     def init_state(self, batch: int):
         cfg = self.config
         dt = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
         dims = [cfg.channels * 2 ** (i + 1) for i in range(len(cfg.strides))]
-        return (
+        state = (
             self.stem.init_state(batch, 1),  # waveform input stays f32
             tuple(b.init_state(batch) for b in self.blocks),
             self.head.init_state(batch, dims[-1], dtype=dt),
         )
+        if cfg.lstm_layers:
+            state = state + (self.lstm.init_state(batch, dtype=dt),)
+        return state
 
     def step(self, x, state):
-        stem_s, block_s, head_s = state
+        stem_s, block_s, head_s = state[0], state[1], state[2]
         h, ns = self.stem.step(x, stem_s)
         new_b = []
         for b, s in zip(self.blocks, block_s):
             h, nb = b.step(h, s)
             new_b.append(nb)
         y, nh = self.head.step(self.final_act(h), head_s)
+        if self.config.lstm_layers:
+            y, nl = self.lstm.step(y, state[3])
+            return y, (ns, tuple(new_b), nh, nl)
         return y, (ns, tuple(new_b), nh)
 
 
@@ -375,6 +469,8 @@ class CodecDecoder(nn.Module):
         dt = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
         wn = cfg.weight_norm
         dims = [cfg.channels * 2 ** (len(cfg.strides) - i - 1) for i in range(len(rs))]
+        if cfg.lstm_layers:
+            self.lstm = CausalLSTM(cfg.latent_dim, cfg.lstm_layers, dtype=dt)
         self.stem = CausalConv(dims[0] * 2, 7, dtype=dt, weight_norm=wn)
         self.blocks = [
             DecoderBlock(dims[i], rs[i], cfg.dilations, cfg.activation, dtype=dt,
@@ -386,6 +482,8 @@ class CodecDecoder(nn.Module):
 
     def __call__(self, z):
         """z: (B, F, latent_dim) -> (B, F*hop, 1)."""
+        if self.config.lstm_layers:
+            z = self.lstm(z)
         h = self.stem(z)
         for b in self.blocks:
             h = b(h)
@@ -395,20 +493,28 @@ class CodecDecoder(nn.Module):
         cfg = self.config
         dt = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
         dims = [cfg.channels * 2 ** (len(cfg.strides) - i - 1) for i in range(len(cfg.strides))]
-        return (
+        state = (
             self.stem.init_state(batch, cfg.latent_dim),  # latents arrive f32
             tuple(b.init_state(batch) for b in self.blocks),
             self.head.init_state(batch, dims[-1], dtype=dt),
         )
+        if cfg.lstm_layers:
+            state = state + (self.lstm.init_state(batch, dtype=dt),)
+        return state
 
     def step(self, z, state):
-        stem_s, block_s, head_s = state
+        stem_s, block_s, head_s = state[0], state[1], state[2]
+        new_l = None
+        if self.config.lstm_layers:
+            z, new_l = self.lstm.step(z, state[3])
         h, ns = self.stem.step(z, stem_s)
         new_b = []
         for b, s in zip(self.blocks, block_s):
             h, nb = b.step(h, s)
             new_b.append(nb)
         y, nh = self.head.step(self.final_act(h), head_s)
+        if self.config.lstm_layers:
+            return y.astype(jnp.float32), (ns, tuple(new_b), nh, new_l)
         return y.astype(jnp.float32), (ns, tuple(new_b), nh)
 
 

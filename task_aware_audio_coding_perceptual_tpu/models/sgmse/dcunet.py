@@ -165,15 +165,17 @@ class _ComplexConvTranspose(nn.Module):
 
 
 class _OnReImBatchNorm(nn.Module):
-    """Separate real/imag batch norm (reference 'bN', ``dcunet.py:29-37,336-342``).
+    """Separate real/imag normalization (reference 'bN', ``dcunet.py:29-37,336-342``).
 
-    Stateless batch statistics: normalize over (batch, H, W) with learned
-    scale/bias, no running averages. ``flax.linen.BatchNorm`` with
-    ``use_running_average=False`` writes a mutable ``batch_stats``
-    collection, which the functional ScoreModel train step (pure params in,
-    params out) does not thread; always-batch-stats is the standard speech
-    simplification and keeps DCUNet a drop-in backbone for the same trainer
-    as NCSN++ (which uses GroupNorm and has no such state)."""
+    Normalizes each SAMPLE over its spatial axes (H, W) per channel —
+    instance-norm-style — identically in train and eval, so inference is
+    independent of eval batch composition (ADVICE r4: the earlier
+    over-(batch,H,W) variant made eval output depend on which files shared a
+    batch). The reference's ``nn.BatchNorm2d`` keeps running averages;
+    threading a mutable ``batch_stats`` collection through the functional
+    ScoreModel train step (pure params in, params out) would force a
+    different train-step signature for one backbone, and per-sample
+    statistics are the standard stateless replacement for speech U-Nets."""
 
     eps: float = 1e-5
 
@@ -183,7 +185,7 @@ class _OnReImBatchNorm(nn.Module):
             c = h.shape[-1]
             scale = self.param(f"{name}_scale", nn.initializers.ones, (c,))
             bias = self.param(f"{name}_bias", nn.initializers.zeros, (c,))
-            axes = tuple(range(h.ndim - 1))
+            axes = tuple(range(1, h.ndim - 1))  # spatial only: per-sample
             mean = jnp.mean(h, axis=axes, keepdims=True)
             var = jnp.var(h, axis=axes, keepdims=True)
             return (h - mean) / jnp.sqrt(var + self.eps) * scale + bias

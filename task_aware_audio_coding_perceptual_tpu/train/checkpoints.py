@@ -124,13 +124,13 @@ def unflatten_artifact(flat):
 _unflatten_artifact = unflatten_artifact  # back-compat alias
 
 
-def load_codec_artifact(path, expect_channels=None):
+def load_codec_artifact(path, expect_channels=None, expect_lstm_layers=None):
     """Load an exported codec artifact back into (params_tree, codebooks).
 
-    If the exporter stored ``config_channels`` (see
-    scripts/export_codec_ckpt.py ``--channels``), validate it against
-    ``expect_channels`` so a mismatched warm start fails with a clear
-    message instead of an opaque jit shape error later.
+    If the exporter stored ``config_channels`` / ``config_lstm_layers`` (see
+    scripts/export_codec_ckpt.py), validate them against the expected model
+    config so a mismatched warm start fails with a clear message instead of
+    an opaque jit shape error later.
     """
     import numpy as np
 
@@ -142,6 +142,14 @@ def load_codec_artifact(path, expect_channels=None):
                 f"codec artifact {path} was exported with channels={stored} "
                 f"but the model is built with channels={expect_channels}; "
                 "pass the matching --channels"
+            )
+    if expect_lstm_layers is not None:
+        stored = int(z["config_lstm_layers"]) if "config_lstm_layers" in z.files else 0
+        if stored != int(expect_lstm_layers):
+            raise ValueError(
+                f"codec artifact {path} was exported with lstm_layers={stored} "
+                f"but the model is built with lstm_layers={expect_lstm_layers}; "
+                "pass the matching --lstm_layers"
             )
     pre = "params" + _ARTIFACT_SEP
     flat = {k[len(pre):]: z[k] for k in z.files if k.startswith(pre)}

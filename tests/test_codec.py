@@ -280,3 +280,72 @@ def test_adv_scale_zero_freezes_disc(rng):
              for a, b in zip(jax.tree.leaves(state.gen_params),
                              jax.tree.leaves(new_state.gen_params))]
     assert any(moved)
+
+
+# ---- EnCodec-style LSTM bottleneck (CodecConfig.lstm_layers) --------------
+
+LSTM_CFG = CodecConfig(
+    channels=8, latent_dim=16, strides=(2, 4), num_quantizers=4,
+    codebook_size=64, lstm_layers=2,
+)
+
+
+@pytest.fixture(scope="module")
+def lstm_codec_and_params():
+    model = NeuralAudioCodec(LSTM_CFG)
+    x = jnp.zeros((1, LSTM_CFG.hop * 4, 1))
+    params = model.init(jax.random.key(0), x)
+    return model, params
+
+
+def test_lstm_codec_shapes_and_grads(lstm_codec_and_params):
+    model, params = lstm_codec_and_params
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, LSTM_CFG.hop * 10, 1)),
+        jnp.float32,
+    )
+    y = model.apply(params, x)
+    assert y.shape == x.shape
+    # gradients reach both LSTM stacks (recurrent kernels included)
+    g = jax.grad(lambda p: jnp.sum(model.apply(p, x) ** 2))(params)
+    flat = jax.tree_util.tree_flatten_with_path(g)[0]
+    lstm_grads = [
+        jnp.abs(v).sum() for k, v in flat if "lstm" in jax.tree_util.keystr(k)
+    ]
+    assert lstm_grads and all(float(v) > 0 for v in lstm_grads)
+
+
+def test_lstm_streaming_roundtrip_matches_offline(lstm_codec_and_params):
+    model, params = lstm_codec_and_params
+    rng = np.random.default_rng(5)
+    T = LSTM_CFG.hop * 8
+    x = jnp.asarray(rng.standard_normal((1, T, 1)).astype(np.float32))
+    state = rvq_lib.init_rvq(
+        jax.random.key(2), LSTM_CFG.num_quantizers, LSTM_CFG.codebook_size,
+        LSTM_CFG.latent_dim,
+    )
+    z = model.apply(params, x, method=NeuralAudioCodec.encode)
+    q = rvq_lib.quantize(state, z, use_pallas=False)
+    y_off = model.apply(params, q.quantized, method=NeuralAudioCodec.decode)
+    y_str, codes = streaming.streaming_roundtrip(
+        model, params, state, x, chunk=LSTM_CFG.hop * 2, use_pallas=False
+    )
+    np.testing.assert_array_equal(np.asarray(codes), np.asarray(q.codes))
+    np.testing.assert_allclose(
+        np.asarray(y_str), np.asarray(y_off), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_lstm_codec_causality(lstm_codec_and_params):
+    model, params = lstm_codec_and_params
+    rng = np.random.default_rng(6)
+    T = LSTM_CFG.hop * 8
+    x1 = rng.standard_normal((1, T, 1)).astype(np.float32)
+    x2 = x1.copy()
+    x2[:, T // 2 :] += 1.0
+    z1 = model.apply(params, jnp.asarray(x1), method=NeuralAudioCodec.encode)
+    z2 = model.apply(params, jnp.asarray(x2), method=NeuralAudioCodec.encode)
+    n_safe = (T // 2) // LSTM_CFG.hop - 1  # frames fully before the change
+    np.testing.assert_allclose(
+        np.asarray(z1[:, :n_safe]), np.asarray(z2[:, :n_safe]), atol=1e-5
+    )

@@ -101,7 +101,7 @@ def test_evaluate_enhancement(specs_root):
         data.valid_set.clean_files, data.valid_set.noisy_files,
         num_eval_files=1, N=2,
     )
-    assert set(m) == {"pesq", "si_sdr", "estoi"}
+    assert set(m) == {"pesq_proxy", "si_sdr", "estoi"}
     assert np.isfinite(m["si_sdr"])
 
 
