@@ -82,6 +82,18 @@ def main():
                    help="64 frames @ hop 512 = ~2 s: the enhancer's "
                         "trained input length")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--phase-mode", default="observed",
+                   choices=["observed", "predicted"],
+                   help="waveform chain for the decoded spectrogram: "
+                        "'observed' = decoded magnitude + noisy-observation "
+                        "phase (magnitude-masking regime; VERDICT r4 item 5 "
+                        "-- the predicted-raw-phase ISTFT is -47 dB noise in "
+                        "both arms, masking any task effect); 'predicted' = "
+                        "the reference's literal chain")
+    p.add_argument("--normalize", action="store_true",
+                   help="min-max-normalized training regime (default: raw "
+                        "mag/phase like the reference's task-aware scripts, "
+                        "so waveform reconstruction is physically scaled)")
     p.add_argument("--report", default="results/task_aware_v2_ab.json")
     args = p.parse_args()
 
@@ -124,7 +136,8 @@ def main():
     disc_params = jax.lax.stop_gradient(disc_params)
 
     tl = task_aware.TaskAwareEnhancementLoss(
-        enhance_fn, disc, disc_params, detached=False)
+        enhance_fn, disc, disc_params, detached=False,
+        phase_mode=args.phase_mode)
 
     cfg = spectral_train.SpectralTrainConfig(
         model=args.model,
@@ -136,7 +149,7 @@ def main():
         total_features_after=args.total_features_after,
         time_dim=args.time_dim,
         out_dir="runs/task_v2_off",
-        normalize=True,
+        normalize=args.normalize,
         save_every=10**9,
         weight_cross_penalty=0.01,
         beta_kl=0.1,
@@ -144,21 +157,26 @@ def main():
 
     def eval_arm(state):
         rec = spectral_train.evaluate_spectral_ae(
-            cfg, clean_dir, noisy_dirs, state, out_csv=None, normalize=True)
+            cfg, clean_dir, noisy_dirs, state, out_csv=None,
+            normalize=args.normalize)
         model = spectral_train.build_model(cfg)
         ds = SpectralDataset(clean_dir, noisy_dirs, "Test",
                              target_shape=(cfg.freq_dim, cfg.time_dim),
-                             normalize=True)
+                             normalize=args.normalize)
 
         @jax.jit
         def decode_waves(variables, inputs, clean):
             out = model.apply(variables, *inputs, random_bottle_neck=True,
                               rngs={"bottleneck": jax.random.key(0)})
+            phase = (inputs[0]["phase"] if args.phase_mode == "observed"
+                     else out.obs_dec[:, 1])
             dec_wav = task_aware.batch_reconstruct_waveform(
-                out.obs_dec[:, 0], out.obs_dec[:, 1])
+                out.obs_dec[:, 0], phase)
             clean_wav = task_aware.batch_reconstruct_waveform(
                 clean["magnitude"], clean["phase"])
-            return dec_wav, clean_wav
+            noisy_wav = task_aware.batch_reconstruct_waveform(
+                inputs[0]["magnitude"], inputs[0]["phase"])
+            return dec_wav, clean_wav, noisy_wav
 
         @jax.jit
         def enhance_eval(wav):
@@ -168,23 +186,31 @@ def main():
                 corrector="ald")
 
         sdr_dec, sdr_enh, estoi_dec, estoi_enh = [], [], [], []
+        sdr_noisy, sdr_enh_noisy = [], []
         for batch in batch_iterator(ds, cfg.batch_size, shuffle=False):
             if batch["clean_audio"]["magnitude"].shape[0] != cfg.batch_size:
                 continue
             inputs = spectral_train._model_inputs(cfg, batch)
             clean = {k: batch["clean_audio"][k] for k in ("magnitude", "phase")}
-            dec, cln = decode_waves(state.variables, inputs, clean)
+            dec, cln, noisy = decode_waves(state.variables, inputs, clean)
             enh = enhance_eval(dec)
-            dec, cln, enh = map(np.asarray, (dec, cln, enh))
+            enh_noisy = enhance_eval(noisy)
+            dec, cln, enh, noisy, enh_noisy = map(
+                np.asarray, (dec, cln, enh, noisy, enh_noisy))
             for b in range(dec.shape[0]):
                 sdr_dec.append(M.si_sdr(cln[b], dec[b]))
                 sdr_enh.append(M.si_sdr(cln[b], enh[b]))
                 estoi_dec.append(M.stoi(cln[b], dec[b], 16000, extended=True))
                 estoi_enh.append(M.stoi(cln[b], enh[b], 16000, extended=True))
+                sdr_noisy.append(M.si_sdr(cln[b], noisy[b]))
+                sdr_enh_noisy.append(M.si_sdr(cln[b], enh_noisy[b]))
         rec["decoded_si_sdr"] = float(np.mean(sdr_dec))
         rec["enhanced_si_sdr"] = float(np.mean(sdr_enh))
         rec["decoded_estoi"] = float(np.mean(estoi_dec))
         rec["enhanced_estoi"] = float(np.mean(estoi_enh))
+        # anchors (arm-independent): coding-free noisy chain
+        rec["noisy_si_sdr"] = float(np.mean(sdr_noisy))
+        rec["enhance_noisy_si_sdr"] = float(np.mean(sdr_enh_noisy))
         return rec
 
     report = {"config": {k: getattr(args, k) for k in vars(args)}}

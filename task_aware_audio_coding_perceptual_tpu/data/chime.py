@@ -174,16 +174,27 @@ def write_speechlike_spectral_corpus(
             # longer utterances built from 2-3 s pieces so the (F, 600)
             # padded frame is mostly real structure, not zeros
             pieces = []
+            labels = []  # phone labels carried in the clean pkl ("labels")
             total = 0
             while total < int(duration * sr):
-                u = speech_synth.synthesize_utterance(
-                    rng, duration=float(rng.uniform(2.0, 3.0)), sr=sr
+                u, labs = speech_synth.synthesize_utterance(
+                    rng, duration=float(rng.uniform(2.0, 3.0)), sr=sr,
+                    return_labels=True,
+                )
+                labels.extend(
+                    (sym, s0 + total, s1 + total) for sym, s0, s1 in labs
                 )
                 pieces.append(u)
                 total += len(u)
             clean = np.concatenate(pieces)[: int(duration * sr)]
+            labels = [
+                (sym, s0, min(s1, len(clean)))
+                for sym, s0, s1 in labels
+                if s0 < len(clean)
+            ]
 
             item = create_complex_spectrogram(clean, sr, n_fft, hop_length)
+            item["labels"] = labels
             with open(
                 os.path.join(clean_dir, split, f"chunk_{i:05d}.pkl"), "wb"
             ) as f:

@@ -59,16 +59,32 @@ def _bandlimited_sawtooth(phase: np.ndarray, n_harm: int = 24) -> np.ndarray:
     return out * (2 / np.pi)
 
 
+# CTC label inventory: 0 is reserved for the CTC blank; vowels map to
+# 1..len(_VOWELS), fricatives to len(_VOWELS)+1..len(_VOWELS)+len(_FRIC_BANDS).
+VOCAB_SIZE = 1 + len(_VOWELS) + len(_FRIC_BANDS)
+
+
 def synthesize_utterance(
     rng: np.random.Generator,
     duration: float = 2.0,
     sr: int = 16000,
     f0_range=(85.0, 255.0),
     peak: float = 0.7,
-) -> np.ndarray:
-    """One synthetic utterance: sequence of voiced/unvoiced/silent segments."""
+    return_labels: bool = False,
+):
+    """One synthetic utterance: sequence of voiced/unvoiced/silent segments.
+
+    With ``return_labels=True`` also returns the phone-label sequence
+    ``[(symbol_id, start_sample, end_sample), ...]`` derived from the SAME
+    random draws (the RNG consumption is unchanged, so seeded corpora are
+    byte-identical with or without labels). This makes the corpus *labeled
+    speech* — the offline stand-in for the reference's pretrained
+    Wav2Vec2ForCTC task head (``train_pkl_file_task_aware.py:252-259``): a
+    CTC ASR trained on these labels becomes a real frozen task head.
+    """
     n = int(duration * sr)
     out = np.zeros(n, np.float64)
+    labels: list = []
     t = 0
     prev_formants = _VOWELS[rng.integers(len(_VOWELS))]
     log_f0 = np.log(rng.uniform(*f0_range))
@@ -96,7 +112,9 @@ def synthesize_utterance(
             # aspiration noise mixed into the source
             src += 0.03 * rng.standard_normal(seg_len)
 
-            target = _VOWELS[rng.integers(len(_VOWELS))]
+            vowel_idx = int(rng.integers(len(_VOWELS)))
+            target = _VOWELS[vowel_idx]
+            labels.append((1 + vowel_idx, t, t + seg_len))
             # coarticulation: linear glide from previous formants
             y = src
             seg = np.zeros(seg_len)
@@ -112,7 +130,9 @@ def synthesize_utterance(
                 seg[idx] = h
             prev_formants = target
         else:  # unvoiced fricative
-            band = _FRIC_BANDS[rng.integers(len(_FRIC_BANDS))]
+            fric_idx = int(rng.integers(len(_FRIC_BANDS)))
+            band = _FRIC_BANDS[fric_idx]
+            labels.append((1 + len(_VOWELS) + fric_idx, t, t + seg_len))
             noise = rng.standard_normal(seg_len)
             center = float(rng.uniform(*band))
             b, a = _resonator_coeffs(center, 900.0, sr)
@@ -135,6 +155,8 @@ def synthesize_utterance(
     m = np.abs(out).max()
     if m > 0:
         out = out / m * peak * rng.uniform(0.5, 1.0)
+    if return_labels:
+        return out.astype(np.float32), labels
     return out.astype(np.float32)
 
 

@@ -168,8 +168,10 @@ class TaskAwareASRLoss:
     sample_rate: int = 8000
     detached: bool = True
 
-    def __call__(self, decoded: jax.Array, clean: dict) -> Tuple[jax.Array, jax.Array]:
+    def __call__(self, decoded: jax.Array, clean: dict,
+                 observed: Optional[dict] = None) -> Tuple[jax.Array, jax.Array]:
         """decoded: (B, 2, F, T) stacked mag/phase; clean: {'magnitude','phase'}."""
+        del observed  # predicted-phase chain (reference parity)
         clean_wav = batch_reconstruct_waveform(clean["magnitude"], clean["phase"])
         noisy_wav = batch_reconstruct_waveform(decoded[:, 0], decoded[:, 1])
 
@@ -208,10 +210,22 @@ class TaskAwareEnhancementLoss:
     disc: object
     disc_params: object
     detached: bool = True
+    # "predicted": ISTFT of the decoded (mag, phase) pair — the reference's
+    # literal chain (train_pkl_file_task_aware_update.py:149-184), which is
+    # degenerate when the AE's raw-phase prediction is poor (the ISTFT of a
+    # bad phase is noise; VERDICT r4 weak #3). "observed": decoded magnitude
+    # + the noisy observation's phase — the standard magnitude-masking
+    # waveform chain; requires ``observed`` at call time.
+    phase_mode: str = "predicted"
 
-    def __call__(self, decoded: jax.Array, clean: dict) -> Tuple[jax.Array, jax.Array]:
+    def __call__(self, decoded: jax.Array, clean: dict,
+                 observed: Optional[dict] = None) -> Tuple[jax.Array, jax.Array]:
         clean_wav = batch_reconstruct_waveform(clean["magnitude"], clean["phase"])
-        noisy_wav = batch_reconstruct_waveform(decoded[:, 0], decoded[:, 1])
+        if self.phase_mode == "observed":
+            assert observed is not None, "phase_mode='observed' needs the noisy batch"
+            noisy_wav = batch_reconstruct_waveform(decoded[:, 0], observed["phase"])
+        else:
+            noisy_wav = batch_reconstruct_waveform(decoded[:, 0], decoded[:, 1])
 
         enhanced = self.enhance_fn(noisy_wav)
         e_len, c_len = enhanced.shape[-1], clean_wav.shape[-1]
@@ -247,7 +261,9 @@ class TaskAwareFeatureLoss:
     disc_params: Optional[object] = None
     detached: bool = False
 
-    def __call__(self, decoded: jax.Array, clean: dict) -> Tuple[jax.Array, jax.Array]:
+    def __call__(self, decoded: jax.Array, clean: dict,
+                 observed: Optional[dict] = None) -> Tuple[jax.Array, jax.Array]:
+        del observed  # predicted-phase chain
         clean_wav = batch_reconstruct_waveform(clean["magnitude"], clean["phase"])
         decoded_wav = batch_reconstruct_waveform(decoded[:, 0], decoded[:, 1])
         logits_dec = self.asr_apply(decoded_wav)

@@ -149,7 +149,10 @@ def make_spectral_train_step(model, cfg: SpectralTrainConfig, tx,
             loss = loss_from_outputs(out)
             task_aux = None
             if task_loss_fn is not None:
-                t_mse, t_disc = task_loss_fn(out.obs_dec, clean_batch)
+                # the first model input is the primary noisy observation —
+                # the phase source for observed-phase waveform chains
+                t_mse, t_disc = task_loss_fn(out.obs_dec, clean_batch,
+                                             observed=batch_inputs[0])
                 loss = loss + task_weight * (t_mse + t_disc)
                 task_aux = (t_mse, t_disc)
             return loss, (out, mutated, task_aux)

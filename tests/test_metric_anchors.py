@@ -205,3 +205,65 @@ def test_p862_absolute_scale_anchors_white_noise():
             vals.append(pesq_mod.pesq_p862(16000, x, x + n, "wb"))
         m = float(np.mean(vals))
         assert lo < m < hi, f"SNR {snr} dB: proxy {m:.2f} outside [{lo},{hi}]"
+
+
+def test_p862_reverb_ordering_and_range():
+    """ADVICE r4 (pesq_p862 calibration scope): the disturbance rescale was
+    anchored on speech+white-noise; validate it doesn't misbehave on a
+    different distortion class. Exponential-decay RIR reverb (the
+    ``data/synth.py`` decay model): mild reverb (T60 0.2 s) must score
+    clearly above strong reverb (T60 1.2 s), and both inside broad
+    literature-plausible MOS bands (ITU PESQ-wb reverberant-speech scores
+    span roughly 1.5-3.5 across T60 0.2-1.2 s)."""
+    from task_aware_audio_coding_perceptual_tpu.data import speech_synth
+
+    sr = 16000
+
+    def rir(t60, seed):
+        n = int(t60 * sr)
+        r = np.random.default_rng(seed)
+        h = r.standard_normal(n) * np.exp(-6.9 * np.arange(n) / n)
+        h[0] = 1.0  # direct path
+        return h / np.abs(h).sum()
+
+    mild, strong = [], []
+    for i in range(3):
+        x = speech_synth.synthesize_utterance(
+            np.random.default_rng(900 + i), duration=2.0, sr=sr)
+        for t60, out in ((0.2, mild), (1.2, strong)):
+            y = np.convolve(x, rir(t60, 950 + i))[: len(x)]
+            out.append(pesq_mod.pesq_p862(sr, x, y.astype(np.float32), "wb"))
+    m_mild, m_strong = float(np.mean(mild)), float(np.mean(strong))
+    assert m_mild > m_strong + 0.2, (m_mild, m_strong)
+    assert 1.5 < m_mild < 4.3, m_mild
+    assert 1.0 < m_strong < 3.2, m_strong
+
+
+def test_p862_modulated_noise_tracks_stationary_anchor():
+    """ADVICE r4: level-varying (amplitude-modulated) noise at a given
+    average SNR must score in the same neighborhood as stationary noise at
+    that SNR (ITU PESQ penalizes modulated noise mildly more or less
+    depending on rate; a proxy wildly over/under-penalizing would leave the
+    band), and must stay monotone in SNR."""
+    from task_aware_audio_coding_perceptual_tpu.data import speech_synth
+
+    sr = 16000
+    scores = {}
+    for snr in (20, 10):
+        vals = []
+        for i in range(3):
+            x = speech_synth.synthesize_utterance(
+                np.random.default_rng(700 + i), duration=2.0, sr=sr)
+            r = np.random.default_rng(850 + i)
+            n = r.standard_normal(len(x))
+            am = 1.0 + 0.8 * np.sin(
+                2 * np.pi * r.uniform(1.0, 4.0) * np.arange(len(x)) / sr)
+            n = n * am
+            n *= np.linalg.norm(x) / np.linalg.norm(n) * 10 ** (-snr / 20)
+            vals.append(pesq_mod.pesq_p862(sr, x, (x + n).astype(np.float32), "wb"))
+        scores[snr] = float(np.mean(vals))
+    # stationary anchors from test_p862_absolute_scale_anchors_white_noise,
+    # widened by +/-0.5 MOS for the modulation effect
+    assert 1.7 < scores[20] < 3.7, scores
+    assert 0.9 < scores[10] < 2.7, scores
+    assert scores[20] > scores[10] + 0.3, scores
