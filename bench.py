@@ -45,17 +45,20 @@ def main():
     # channel width (and bottleneck LSTM depth), so the throughput claim must
     # hold at the same capacity
     channels = CodecConfig().channels
-    lstm_layers = 0
+    lstm_layers = bneck = 0
     try:
         z = np.load("tests/golden/codec_8q_params.npz")
         if "config_channels" in z.files:
             channels = int(z["config_channels"])
         if "config_lstm_layers" in z.files:
             lstm_layers = int(z["config_lstm_layers"])
+        if "config_bottleneck_blocks" in z.files:
+            bneck = int(z["config_bottleneck_blocks"])
     except Exception:
         pass
     config = CodecConfig(dtype="bfloat16", channels=channels,
-                         lstm_layers=lstm_layers)  # MXU-friendly
+                         lstm_layers=lstm_layers,
+                         bottleneck_blocks=bneck)  # MXU-friendly
     model = NeuralAudioCodec(config)
 
     batch = 256  # concurrent streams per call (batch is the utilization lever on v5e)

@@ -59,6 +59,10 @@ def codec_flops_per_sample(config) -> float:
     if getattr(config, "lstm_layers", 0):
         # one LSTM step: 4 gates x (x-matmul + h-matmul), both dim L
         total += 2 * config.lstm_layers * (4 * (L * L + L * L)) * rate
+    if getattr(config, "bottleneck_blocks", 0):
+        # residual units at latent rate, enc + dec sides
+        total += 2 * config.bottleneck_blocks * n_units * (
+            conv_macs(L, L, 7, rate) + conv_macs(L, L, 1, rate))
     # ---- decoder ----
     total += conv_macs(L, c, 7, rate)  # decoder stem (latent -> 16C)
     for s in reversed(config.strides):

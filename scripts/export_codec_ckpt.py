@@ -41,6 +41,9 @@ def main():
     p.add_argument("--lstm_layers", type=int, default=None,
                    help="CodecConfig.lstm_layers of the trained model; stored "
                         "as config_lstm_layers when given")
+    p.add_argument("--bottleneck_blocks", type=int, default=None,
+                   help="CodecConfig.bottleneck_blocks; stored as "
+                        "config_bottleneck_blocks when given")
     args = p.parse_args()
 
     import jax
@@ -68,6 +71,8 @@ def main():
         flat["config_channels"] = np.asarray(args.channels)
     if args.lstm_layers is not None:
         flat["config_lstm_layers"] = np.asarray(args.lstm_layers)
+    if args.bottleneck_blocks is not None:
+        flat["config_bottleneck_blocks"] = np.asarray(args.bottleneck_blocks)
     np.savez_compressed(args.out, **flat)
     size_mb = os.path.getsize(args.out) / 1e6
     print(f"wrote {args.out} ({size_mb:.1f} MB, {len(flat)} arrays)")

@@ -125,7 +125,12 @@ def main(argv=None):
     p.add_argument("--channels", type=int, default=32)
     p.add_argument("--lstm_layers", type=int, default=0,
                    help="EnCodec-style causal LSTM layers at the bottleneck "
-                        "(encoder output + decoder input; 0 = off)")
+                        "(encoder output + decoder input; 0 = off). NOTE: "
+                        "nests a time-scan under the K-step training scan — "
+                        "use --steps_per_call 1 (see CodecConfig docstring)")
+    p.add_argument("--bottleneck_blocks", type=int, default=0,
+                   help="dilated-conv residual stacks at the latent rate "
+                        "(scan-free temporal module; 0 = off)")
     p.add_argument("--adversarial", action="store_true", help="enable MS-STFT GAN")
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--lr", type=float, default=3e-4)
@@ -165,6 +170,7 @@ def main(argv=None):
         sample_rate=args.sample_rate, channels=args.channels,
         num_quantizers=args.num_quantizers, codebook_size=args.codebook_size,
         lstm_layers=args.lstm_layers,
+        bottleneck_blocks=args.bottleneck_blocks,
     )
     T_eval = int(args.seconds * args.sample_rate)
     T_eval -= T_eval % config.hop
@@ -227,6 +233,7 @@ def main(argv=None):
         params_tree, codebooks = load_codec_artifact(
             args.warm_start_npz, expect_channels=args.channels,
             expect_lstm_layers=args.lstm_layers,
+            expect_bottleneck_blocks=args.bottleneck_blocks,
         )
         params_tree = jax.tree.map(jnp.asarray, params_tree)
         cb = jnp.asarray(codebooks)

@@ -49,7 +49,19 @@ class CodecConfig:
     # decoder input; gives the codec temporal context beyond the conv
     # receptive field while staying streaming-causal (VERDICT r4 item 2's
     # "temporal module" capacity lever).
+    # CAVEAT (measured on the axon remote compiler): the LSTM's time-scan
+    # nested inside a K-step training scan (make_train_multistep) compiles
+    # pathologically slowly; train LSTM configs with steps_per_call=1, or
+    # prefer ``bottleneck_blocks`` below, which provides the same
+    # temporal-context capacity scan-free.
     lstm_layers: int = 0
+    # Scan-free temporal module: N dilated-conv residual stacks at the
+    # latent rate (dilations ``dilations`` per stack, kernel 7). With the
+    # default (1, 3, 9) each stack adds 78 latent frames (~1.6 s at 50 Hz)
+    # of causal receptive field — the temporal-context role of EnCodec's
+    # LSTM expressed as MXU-friendly convs that nest safely under the
+    # multistep training scan.
+    bottleneck_blocks: int = 0
 
     @property
     def hop(self) -> int:
@@ -420,6 +432,13 @@ class CodecEncoder(nn.Module):
         ]
         self.final_act = _act(cfg.activation, dims[-1])
         self.head = CausalConv(cfg.latent_dim, 3, dtype=dt, weight_norm=wn)
+        if cfg.bottleneck_blocks:
+            self.bneck = [
+                ResidualUnit(cfg.latent_dim, d, cfg.activation, dtype=dt,
+                             weight_norm=wn)
+                for _ in range(cfg.bottleneck_blocks)
+                for d in cfg.dilations
+            ]
         if cfg.lstm_layers:
             self.lstm = CausalLSTM(cfg.latent_dim, cfg.lstm_layers, dtype=dt)
 
@@ -429,6 +448,9 @@ class CodecEncoder(nn.Module):
         for b in self.blocks:
             h = b(h)
         z = self.head(self.final_act(h))
+        if self.config.bottleneck_blocks:
+            for u in self.bneck:
+                z = u(z)
         if self.config.lstm_layers:
             z = self.lstm(z)
         return z
@@ -442,6 +464,8 @@ class CodecEncoder(nn.Module):
             tuple(b.init_state(batch) for b in self.blocks),
             self.head.init_state(batch, dims[-1], dtype=dt),
         )
+        if cfg.bottleneck_blocks:
+            state = state + (tuple(u.init_state(batch) for u in self.bneck),)
         if cfg.lstm_layers:
             state = state + (self.lstm.init_state(batch, dtype=dt),)
         return state
@@ -454,10 +478,19 @@ class CodecEncoder(nn.Module):
             h, nb = b.step(h, s)
             new_b.append(nb)
         y, nh = self.head.step(self.final_act(h), head_s)
+        out = (ns, tuple(new_b), nh)
+        i = 3
+        if self.config.bottleneck_blocks:
+            new_u = []
+            for u, s in zip(self.bneck, state[i]):
+                y, nu = u.step(y, s)
+                new_u.append(nu)
+            out = out + (tuple(new_u),)
+            i += 1
         if self.config.lstm_layers:
-            y, nl = self.lstm.step(y, state[3])
-            return y, (ns, tuple(new_b), nh, nl)
-        return y, (ns, tuple(new_b), nh)
+            y, nl = self.lstm.step(y, state[i])
+            out = out + (nl,)
+        return y, out
 
 
 class CodecDecoder(nn.Module):
@@ -471,6 +504,13 @@ class CodecDecoder(nn.Module):
         dims = [cfg.channels * 2 ** (len(cfg.strides) - i - 1) for i in range(len(rs))]
         if cfg.lstm_layers:
             self.lstm = CausalLSTM(cfg.latent_dim, cfg.lstm_layers, dtype=dt)
+        if cfg.bottleneck_blocks:
+            self.bneck = [
+                ResidualUnit(cfg.latent_dim, d, cfg.activation, dtype=dt,
+                             weight_norm=wn)
+                for _ in range(cfg.bottleneck_blocks)
+                for d in cfg.dilations
+            ]
         self.stem = CausalConv(dims[0] * 2, 7, dtype=dt, weight_norm=wn)
         self.blocks = [
             DecoderBlock(dims[i], rs[i], cfg.dilations, cfg.activation, dtype=dt,
@@ -484,6 +524,9 @@ class CodecDecoder(nn.Module):
         """z: (B, F, latent_dim) -> (B, F*hop, 1)."""
         if self.config.lstm_layers:
             z = self.lstm(z)
+        if self.config.bottleneck_blocks:
+            for u in self.bneck:
+                z = u(z)
         h = self.stem(z)
         for b in self.blocks:
             h = b(h)
@@ -498,24 +541,38 @@ class CodecDecoder(nn.Module):
             tuple(b.init_state(batch) for b in self.blocks),
             self.head.init_state(batch, dims[-1], dtype=dt),
         )
+        if cfg.bottleneck_blocks:
+            state = state + (tuple(u.init_state(batch) for u in self.bneck),)
         if cfg.lstm_layers:
             state = state + (self.lstm.init_state(batch, dtype=dt),)
         return state
 
     def step(self, z, state):
         stem_s, block_s, head_s = state[0], state[1], state[2]
-        new_l = None
+        i = 3
+        new_u = new_l = None
         if self.config.lstm_layers:
-            z, new_l = self.lstm.step(z, state[3])
+            # lstm state sits last in the tuple regardless of bneck presence
+            z, new_l = self.lstm.step(z, state[-1])
+        if self.config.bottleneck_blocks:
+            us = []
+            for u, s in zip(self.bneck, state[i]):
+                z, nu = u.step(z, s)
+                us.append(nu)
+            new_u = tuple(us)
+            i += 1
         h, ns = self.stem.step(z, stem_s)
         new_b = []
         for b, s in zip(self.blocks, block_s):
             h, nb = b.step(h, s)
             new_b.append(nb)
         y, nh = self.head.step(self.final_act(h), head_s)
-        if self.config.lstm_layers:
-            return y.astype(jnp.float32), (ns, tuple(new_b), nh, new_l)
-        return y.astype(jnp.float32), (ns, tuple(new_b), nh)
+        out = (ns, tuple(new_b), nh)
+        if new_u is not None:
+            out = out + (new_u,)
+        if new_l is not None:
+            out = out + (new_l,)
+        return y.astype(jnp.float32), out
 
 
 class NeuralAudioCodec(nn.Module):

@@ -124,7 +124,8 @@ def unflatten_artifact(flat):
 _unflatten_artifact = unflatten_artifact  # back-compat alias
 
 
-def load_codec_artifact(path, expect_channels=None, expect_lstm_layers=None):
+def load_codec_artifact(path, expect_channels=None, expect_lstm_layers=None,
+                        expect_bottleneck_blocks=None):
     """Load an exported codec artifact back into (params_tree, codebooks).
 
     If the exporter stored ``config_channels`` / ``config_lstm_layers`` (see
@@ -143,13 +144,16 @@ def load_codec_artifact(path, expect_channels=None, expect_lstm_layers=None):
                 f"but the model is built with channels={expect_channels}; "
                 "pass the matching --channels"
             )
-    if expect_lstm_layers is not None:
-        stored = int(z["config_lstm_layers"]) if "config_lstm_layers" in z.files else 0
-        if stored != int(expect_lstm_layers):
+    for field, expect in (("lstm_layers", expect_lstm_layers),
+                          ("bottleneck_blocks", expect_bottleneck_blocks)):
+        if expect is None:
+            continue
+        stored = int(z[f"config_{field}"]) if f"config_{field}" in z.files else 0
+        if stored != int(expect):
             raise ValueError(
-                f"codec artifact {path} was exported with lstm_layers={stored} "
-                f"but the model is built with lstm_layers={expect_lstm_layers}; "
-                "pass the matching --lstm_layers"
+                f"codec artifact {path} was exported with {field}={stored} "
+                f"but the model is built with {field}={expect}; "
+                f"pass the matching --{field}"
             )
     pre = "params" + _ARTIFACT_SEP
     flat = {k[len(pre):]: z[k] for k in z.files if k.startswith(pre)}

@@ -349,3 +349,40 @@ def test_lstm_codec_causality(lstm_codec_and_params):
     np.testing.assert_allclose(
         np.asarray(z1[:, :n_safe]), np.asarray(z2[:, :n_safe]), atol=1e-5
     )
+
+
+# ---- scan-free temporal module (CodecConfig.bottleneck_blocks) ------------
+
+BNECK_CFG = CodecConfig(
+    channels=8, latent_dim=16, strides=(2, 4), num_quantizers=4,
+    codebook_size=64, bottleneck_blocks=1,
+)
+
+
+def test_bottleneck_blocks_streaming_matches_offline():
+    model = NeuralAudioCodec(BNECK_CFG)
+    x0 = jnp.zeros((1, BNECK_CFG.hop * 4, 1))
+    params = model.init(jax.random.key(0), x0)
+    rng = np.random.default_rng(5)
+    T = BNECK_CFG.hop * 8
+    x = jnp.asarray(rng.standard_normal((1, T, 1)).astype(np.float32))
+    state = rvq_lib.init_rvq(
+        jax.random.key(2), BNECK_CFG.num_quantizers, BNECK_CFG.codebook_size,
+        BNECK_CFG.latent_dim,
+    )
+    z = model.apply(params, x, method=NeuralAudioCodec.encode)
+    q = rvq_lib.quantize(state, z, use_pallas=False)
+    y_off = model.apply(params, q.quantized, method=NeuralAudioCodec.decode)
+    y_str, codes = streaming.streaming_roundtrip(
+        model, params, state, x, chunk=BNECK_CFG.hop * 2, use_pallas=False
+    )
+    np.testing.assert_array_equal(np.asarray(codes), np.asarray(q.codes))
+    np.testing.assert_allclose(
+        np.asarray(y_str), np.asarray(y_off), rtol=1e-4, atol=1e-5
+    )
+    # gradients reach the bottleneck stacks
+    g = jax.grad(lambda p: jnp.sum(model.apply(p, x) ** 2))(params)
+    flat = jax.tree_util.tree_flatten_with_path(g)[0]
+    bn = [jnp.abs(v).sum() for k, v in flat
+          if "bneck" in jax.tree_util.keystr(k)]
+    assert bn and all(float(v) > 0 for v in bn)
