@@ -148,6 +148,10 @@ def main(argv=None):
                    help="compact npz artifact (scripts/export_codec_ckpt.py) "
                         "seeding generator params + RVQ codebooks; optimizer "
                         "and discriminator start fresh")
+    p.add_argument("--warm_start_partial", action="store_true",
+                   help="allow the artifact to cover only a subset of the "
+                        "model's params (capacity growth: new residual "
+                        "modules start at init)")
     p.add_argument("--start_step", type=int, default=0,
                    help="global step counter to start at (with --warm_start_npz)")
     p.add_argument("--steps_per_call", type=int, default=8,
@@ -232,9 +236,35 @@ def main(argv=None):
 
         params_tree, codebooks = load_codec_artifact(
             args.warm_start_npz, expect_channels=args.channels,
-            expect_lstm_layers=args.lstm_layers,
-            expect_bottleneck_blocks=args.bottleneck_blocks,
+            expect_lstm_layers=None if args.warm_start_partial else args.lstm_layers,
+            expect_bottleneck_blocks=(
+                None if args.warm_start_partial else args.bottleneck_blocks),
         )
+        if args.warm_start_partial:
+            # capacity-growth warm start: overlay the artifact's params onto
+            # the freshly-initialized tree, keeping newly-added modules
+            # (e.g. bottleneck_blocks stacks) at their init. New modules are
+            # residual, so the warm-started function starts near the
+            # artifact's and training grows into the extra capacity.
+            def overlay(init_tree, art_tree, path=""):
+                out = {}
+                for k, v in init_tree.items():
+                    if k in art_tree and isinstance(v, dict):
+                        out[k] = overlay(v, art_tree[k], f"{path}/{k}")
+                    elif k in art_tree:
+                        assert art_tree[k].shape == v.shape, (
+                            f"shape mismatch at {path}/{k}: "
+                            f"{art_tree[k].shape} vs {v.shape}")
+                        out[k] = art_tree[k]
+                    else:
+                        out[k] = v
+                return out
+
+            init_tree = get_params(state)
+            n_new = (len(jax.tree.leaves(init_tree))
+                     - len(jax.tree.leaves(params_tree)))
+            params_tree = overlay(init_tree, params_tree)
+            print(f"partial warm start: {n_new} new param tensors kept at init")
         params_tree = jax.tree.map(jnp.asarray, params_tree)
         cb = jnp.asarray(codebooks)
         rvq0 = state.rvq.replace(
