@@ -52,12 +52,21 @@ def main():
     p.add_argument("--report", default="results/task_aware_ab.json")
     p.add_argument("--force", action="store_true",
                    help="retrain arms even if present in --report")
+    p.add_argument("--asr-npz", default=None,
+                   help="trained conv-CTC head artifact "
+                        "(scripts/train_ctc_asr.py). When given, the task "
+                        "head is the TRAINED frozen ASR (VERDICT r4 item 6), "
+                        "the waveform chain switches to raw/observed-phase "
+                        "so the head sees physically-scaled audio, and the "
+                        "readout adds greedy-decode token accuracy against "
+                        "the corpus's TRUE phone labels")
     args = p.parse_args()
 
     import jax
     import jax.numpy as jnp
 
     from task_aware_audio_coding_perceptual_tpu.data import chime
+    from task_aware_audio_coding_perceptual_tpu.models import ctc_asr
     from task_aware_audio_coding_perceptual_tpu.data.datamodule import batch_iterator
     from task_aware_audio_coding_perceptual_tpu.data.datasets import SpectralDataset
     from task_aware_audio_coding_perceptual_tpu.models import task_aware
@@ -84,15 +93,26 @@ def main():
         z_dim=args.z_dim,
         total_features_after=args.total_features_after,
         out_dir="runs/task_ab_off",
-        normalize=True,
+        normalize=not args.asr_npz,
         save_every=10**9,
         weight_cross_penalty=0.01,
         beta_kl=0.1,
     )
 
-    # frozen CTC head used for arm B's TRAINING objective
-    asr_apply, _ = task_aware.make_asr_head(seed=123, example_len=4000)
-    tl = task_aware.TaskAwareFeatureLoss(asr_apply, detached=False)
+    # frozen CTC head used for arm B's TRAINING objective: the TRAINED conv
+    # CTC when --asr-npz is given (reference analogue: pretrained frozen
+    # Wav2Vec2ForCTC, train_pkl_file_task_aware.py:252-259), else the seeded
+    # random proxy head
+    if args.asr_npz:
+        ctc_params = ctc_asr.load_ctc_artifact(args.asr_npz)
+        ctc_model = ctc_asr.ConvCTCEncoder()
+        frozen_ctc = jax.lax.stop_gradient(ctc_params)
+        asr_apply = lambda wav: ctc_model.apply(frozen_ctc, wav)
+        tl = task_aware.TaskAwareFeatureLoss(asr_apply, detached=False,
+                                             phase_mode="observed")
+    else:
+        asr_apply, _ = task_aware.make_asr_head(seed=123, example_len=4000)
+        tl = task_aware.TaskAwareFeatureLoss(asr_apply, detached=False)
 
     # independent readout heads (VERDICT r3 item 3: the eval metric must not
     # be the training loss): a from-config Flax Wav2Vec2-CTC — a *different
@@ -127,43 +147,82 @@ def main():
         """Held-out recon metrics + proxy-head task logit-MSE (the training
         objective, kept for continuity) + independent-head readouts."""
         rec = spectral_train.evaluate_spectral_ae(
-            cfg, clean_dir, noisy_dirs, state, out_csv=None, normalize=True)
+            cfg, clean_dir, noisy_dirs, state, out_csv=None,
+            normalize=cfg.normalize)
         model = spectral_train.build_model(cfg)
         ds = SpectralDataset(clean_dir, noisy_dirs, "Test",
                              target_shape=(cfg.freq_dim, cfg.time_dim),
-                             normalize=True)
+                             normalize=cfg.normalize)
 
         @jax.jit
         def task_metric(variables, inputs, clean):
             out = model.apply(variables, *inputs, random_bottle_neck=True,
                               rngs={"bottleneck": jax.random.key(0)})
-            t_mse, _ = tl(out.obs_dec, clean)
-            dec_wav = task_aware.batch_reconstruct_waveform(
-                out.obs_dec[:, 0], out.obs_dec[:, 1])
+            t_mse, _ = tl(out.obs_dec, clean, observed=inputs[0])
+            if args.asr_npz:
+                dec_wav = task_aware.batch_reconstruct_waveform(
+                    out.obs_dec[:, 0], inputs[0]["phase"])
+            else:
+                dec_wav = task_aware.batch_reconstruct_waveform(
+                    out.obs_dec[:, 0], out.obs_dec[:, 1])
             clean_wav = task_aware.batch_reconstruct_waveform(
                 clean["magnitude"], clean["phase"])
             ind_dec = w2v2_apply(dec_wav)
             ind_cln = w2v2_apply(clean_wav)
             ind_mse = jnp.mean((ind_dec - ind_cln) ** 2)
-            return t_mse, ind_mse, jnp.argmax(ind_dec, -1), jnp.argmax(ind_cln, -1)
+            extra = ()
+            if args.asr_npz:
+                extra = (asr_apply(dec_wav), asr_apply(clean_wav))
+            return (t_mse, ind_mse, jnp.argmax(ind_dec, -1),
+                    jnp.argmax(ind_cln, -1)) + extra
 
         vals, ind_vals, agree = [], [], []
+        acc_dec, acc_cln = [], []
+        item_idx = 0
         for batch in batch_iterator(ds, cfg.batch_size, shuffle=False):
             if batch["clean_audio"]["magnitude"].shape[0] != cfg.batch_size:
                 continue
             inputs = spectral_train._model_inputs(cfg, batch)
             clean = {k: batch["clean_audio"][k] for k in ("magnitude", "phase")}
-            t, ind, ids_d, ids_c = task_metric(state.variables, inputs, clean)
+            res = task_metric(state.variables, inputs, clean)
+            t, ind, ids_d, ids_c = res[:4]
             vals.append(float(t))
             ind_vals.append(float(ind))
             ids_d, ids_c = np.asarray(ids_d), np.asarray(ids_c)
             for b in range(ids_d.shape[0]):
                 agree.append(_agreement(_ctc_collapse(ids_d[b]),
                                         _ctc_collapse(ids_c[b])))
+            if args.asr_npz:
+                # TRUE-label token accuracy of the trained head (greedy CTC)
+                log_d, log_c = map(np.asarray, res[4:6])
+                for b in range(log_d.shape[0]):
+                    refs = test_labels[item_idx + b]
+                    acc_dec.append(1.0 - ctc_asr.token_error_rate(
+                        refs, ctc_asr.greedy_decode(log_d[b:b+1])[0]))
+                    acc_cln.append(1.0 - ctc_asr.token_error_rate(
+                        refs, ctc_asr.greedy_decode(log_c[b:b+1])[0]))
+            item_idx += ids_d.shape[0]
         rec["task_logit_mse"] = float(np.mean(vals))
         rec["w2v2_logit_mse"] = float(np.mean(ind_vals))
         rec["ctc_token_agreement"] = float(np.mean(agree))
+        if args.asr_npz:
+            rec["true_label_token_acc_decoded"] = float(np.mean(acc_dec))
+            rec["true_label_token_acc_clean"] = float(np.mean(acc_cln))
         return rec
+
+    test_labels = []
+    if args.asr_npz:
+        import glob as _glob
+        import pickle as _pickle
+        for f in sorted(_glob.glob(os.path.join(clean_dir, "Test", "*.pkl"))):
+            with open(f, "rb") as fh:
+                item = _pickle.load(fh)
+            labs = item.get("labels")
+            assert labs, (
+                f"{f} has no phone labels; regenerate the corpus with a "
+                "fresh --data-root (label-carrying corpora are written by "
+                "chime.write_speechlike_spectral_corpus since r5)")
+            test_labels.append([sym for sym, _, _ in labs])
 
     # Resume semantics: arms already present in an existing report file are
     # reused (a TPU wedge must not discard a finished multi-hour arm).

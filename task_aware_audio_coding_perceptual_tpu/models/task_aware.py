@@ -260,12 +260,16 @@ class TaskAwareFeatureLoss:
     disc: Optional[object] = None
     disc_params: Optional[object] = None
     detached: bool = False
+    phase_mode: str = "predicted"  # see TaskAwareEnhancementLoss
 
     def __call__(self, decoded: jax.Array, clean: dict,
                  observed: Optional[dict] = None) -> Tuple[jax.Array, jax.Array]:
-        del observed  # predicted-phase chain
         clean_wav = batch_reconstruct_waveform(clean["magnitude"], clean["phase"])
-        decoded_wav = batch_reconstruct_waveform(decoded[:, 0], decoded[:, 1])
+        if self.phase_mode == "observed":
+            assert observed is not None, "phase_mode='observed' needs the noisy batch"
+            decoded_wav = batch_reconstruct_waveform(decoded[:, 0], observed["phase"])
+        else:
+            decoded_wav = batch_reconstruct_waveform(decoded[:, 0], decoded[:, 1])
         logits_dec = self.asr_apply(decoded_wav)
         logits_clean = jax.lax.stop_gradient(self.asr_apply(clean_wav))
         task = jnp.mean((logits_dec - logits_clean) ** 2)
