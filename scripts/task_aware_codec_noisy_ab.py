@@ -50,6 +50,11 @@ def main():
     p.add_argument("--lr", type=float, default=5e-5)
     p.add_argument("--task-weight", type=float, default=1.0)
     p.add_argument("--train-N", type=int, default=3)
+    p.add_argument("--train-corrector", default="none",
+                   help="corrector inside the training-loss sampler; 'ald' "
+                        "aligns the train-time head with the eval head "
+                        "(r5: the N=3/none head optimized its own metric "
+                        "without transferring to the N=10/ald eval)")
     p.add_argument("--eval-N", type=int, default=10)
     p.add_argument("--eval-files", type=int, default=16)
     p.add_argument("--report", default="results/task_aware_codec_noisy_ab.json")
@@ -139,7 +144,7 @@ def main():
                     dec = aux["recon"][..., 0]
                     enhanced = enh_model.enhance_batched(
                         frozen, dec, key=jax.random.key(0), N=args.train_N,
-                        corrector="none")
+                        corrector=args.train_corrector)
                     task = jnp.mean((enhanced - clean) ** 2)
                 return base + task_weight * task, (aux, task)
 

@@ -167,15 +167,22 @@ class _ComplexConvTranspose(nn.Module):
 class _OnReImBatchNorm(nn.Module):
     """Separate real/imag normalization (reference 'bN', ``dcunet.py:29-37,336-342``).
 
-    Normalizes each SAMPLE over its spatial axes (H, W) per channel —
-    instance-norm-style — identically in train and eval, so inference is
-    independent of eval batch composition (ADVICE r4: the earlier
-    over-(batch,H,W) variant made eval output depend on which files shared a
-    batch). The reference's ``nn.BatchNorm2d`` keeps running averages;
-    threading a mutable ``batch_stats`` collection through the functional
-    ScoreModel train step (pure params in, params out) would force a
-    different train-step signature for one backbone, and per-sample
-    statistics are the standard stateless replacement for speech U-Nets."""
+    Stateless batch statistics: normalize over (batch, H, W) with learned
+    scale/bias, no running averages. ``flax.linen.BatchNorm`` with
+    ``use_running_average=False`` writes a mutable ``batch_stats``
+    collection, which the functional ScoreModel train step (pure params in,
+    params out) does not thread; always-batch-stats is the standard speech
+    simplification and keeps DCUNet a drop-in backbone for the same trainer
+    as NCSN++.
+
+    ADVICE r4 asked for per-sample (H, W) statistics so eval output would be
+    independent of eval batch composition; that variant was TRIED in round 5
+    and retrained — training plateaued at −16 dB valid SI-SDR where the
+    batch-stats version climbs past +3 dB by 3 k steps (runs/sgmse_dcunet_r5
+    vs runs/sgmse_dcunet2), so batch statistics are kept deliberately.
+    Consequence (documented caveat): eval metrics depend on the eval batch;
+    evaluation therefore uses a fixed batch composition (the trainer
+    enhances per-file, batch 1, consistently)."""
 
     eps: float = 1e-5
 
@@ -185,7 +192,7 @@ class _OnReImBatchNorm(nn.Module):
             c = h.shape[-1]
             scale = self.param(f"{name}_scale", nn.initializers.ones, (c,))
             bias = self.param(f"{name}_bias", nn.initializers.zeros, (c,))
-            axes = tuple(range(1, h.ndim - 1))  # spatial only: per-sample
+            axes = tuple(range(h.ndim - 1))
             mean = jnp.mean(h, axis=axes, keepdims=True)
             var = jnp.var(h, axis=axes, keepdims=True)
             return (h - mean) / jnp.sqrt(var + self.eps) * scale + bias
