@@ -82,27 +82,31 @@ def main():
     Pd = jnp.asarray(Ptr)
     Xe = jnp.asarray(Xte)
 
+    # corpus tensors are ARGUMENTS, not closure constants: a closed-over
+    # 380 MB array ships inside the remote-compile request (HTTP 413)
     def one_step(carry, idx):
-        params, opt_state = carry
+        params, opt_state, X, L, P = carry
 
         def loss_fn(p):
-            logits = model.apply(p, Xd[idx])
-            return ctc_asr.ctc_loss_fn(logits, Ld[idx], Pd[idx])
+            logits = model.apply(p, X[idx])
+            return ctc_asr.ctc_loss_fn(logits, L[idx], P[idx])
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return (params, opt_state), loss
+        return (params, opt_state, X, L, P), loss
 
     @jax.jit
-    def multi_step(params, opt_state, idx_mat):
-        (params, opt_state), losses = jax.lax.scan(
-            one_step, (params, opt_state), idx_mat)
+    def multi_step(params, opt_state, idx_mat, X, L, P):
+        (params, opt_state, _, _, _), losses = jax.lax.scan(
+            one_step, (params, opt_state, X, L, P), idx_mat)
         return params, opt_state, losses
 
     @jax.jit
     def infer(params, wav):
         return model.apply(params, wav)
+
+    Xe = jax.device_put(Xe)
 
     def test_accuracy(params):
         accs = []
@@ -121,7 +125,8 @@ def main():
     while steps < args.steps:
         idx_mat = jnp.asarray(
             rng.integers(0, len(Xtr), (K, args.batch_size)), jnp.int32)
-        params, opt_state, losses = multi_step(params, opt_state, idx_mat)
+        params, opt_state, losses = multi_step(params, opt_state, idx_mat,
+                                               Xd, Ld, Pd)
         steps += K
         if steps % args.eval_every < K:
             acc = test_accuracy(params)
