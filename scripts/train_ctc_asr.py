@@ -23,17 +23,18 @@ def build_dataset(n: int, duration: float, seed: int, max_labels: int):
     from task_aware_audio_coding_perceptual_tpu.data.speech_synth import (
         synthesize_utterance,
     )
-    from task_aware_audio_coding_perceptual_tpu.models.ctc_asr import pad_labels
+    from task_aware_audio_coding_perceptual_tpu.models.ctc_asr import frame_labels
 
-    wavs, seqs = [], []
+    wavs, frames, seqs = [], [], []
+    n_frames = int(duration * 16000) // 320
     for i in range(n):
         rng = np.random.default_rng(seed * 7_000_003 + i)
         w, labs = synthesize_utterance(rng, duration=duration,
                                        return_labels=True)
         wavs.append(w)
+        frames.append(frame_labels(labs, n_frames))
         seqs.append([sym for sym, _, _ in labs])
-    labels, pads = pad_labels(seqs, max_labels)
-    return np.stack(wavs), labels, pads, seqs
+    return np.stack(wavs), np.stack(frames), None, seqs
 
 
 def main():
@@ -79,7 +80,7 @@ def main():
     # stage the whole corpus in HBM; steps gather by index (1-core host)
     Xd = jnp.asarray(Xtr)
     Ld = jnp.asarray(Ltr)
-    Pd = jnp.asarray(Ptr)
+    Pd = jnp.zeros((1,))  # unused with frame-CE; kept for the step signature
     Xe = jnp.asarray(Xte)
 
     # corpus tensors are ARGUMENTS, not closure constants: a closed-over
@@ -89,7 +90,7 @@ def main():
 
         def loss_fn(p):
             logits = model.apply(p, X[idx])
-            return ctc_asr.ctc_loss_fn(logits, L[idx], P[idx])
+            return ctc_asr.frame_ce_loss(logits, L[idx])
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)

@@ -119,3 +119,24 @@ def load_ctc_artifact(path: str):
     z = np.load(path)
     tree = unflatten_artifact({k: z[k] for k in z.files if "::" in k})
     return jax.tree.map(jnp.asarray, tree)
+
+
+def frame_labels(labs, n_frames: int, hop: int = 320) -> np.ndarray:
+    """Frame-aligned symbol targets from (sym, start, end) spans (0 where no
+    segment is active). The synthetic corpus KNOWS its alignments, so the
+    head can train with plain frame-wise cross-entropy — scan-free (the
+    axon TPU backend miscompiles/stalls on ``optax.ctc_loss``'s time-scan;
+    measured round 5) — while keeping the CTC-style greedy-collapse decode
+    and token-accuracy readout."""
+    out = np.zeros(n_frames, np.int32)
+    for sym, s0, s1 in labs:
+        f0, f1 = s0 // hop, max(s0 // hop + 1, min(n_frames, s1 // hop))
+        out[f0:f1] = sym
+    return out
+
+
+def frame_ce_loss(logits: jax.Array, frame_targets: jax.Array) -> jax.Array:
+    """Mean softmax cross-entropy over (B, T') frames."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    picked = jnp.take_along_axis(logp, frame_targets[..., None], axis=-1)
+    return -jnp.mean(picked)
