@@ -301,7 +301,7 @@ def lstm_codec_and_params():
 def test_lstm_codec_shapes_and_grads(lstm_codec_and_params):
     model, params = lstm_codec_and_params
     x = jnp.asarray(
-        np.random.default_rng(0).standard_normal((2, LSTM_CFG.hop * 10, 1)),
+        np.random.default_rng(0).standard_normal((1, LSTM_CFG.hop * 4, 1)),
         jnp.float32,
     )
     y = model.apply(params, x)

@@ -24,15 +24,15 @@ def test_labels_do_not_change_waveform():
 
 
 def test_ctc_encoder_shapes_and_loss_grad():
-    m = ctc_asr.ConvCTCEncoder(hidden=16, context_blocks=2)
+    m = ctc_asr.ConvCTCEncoder(hidden=8, context_blocks=1)
     wav = jnp.asarray(
-        np.random.default_rng(0).standard_normal((2, 6400)).astype(np.float32)
+        np.random.default_rng(0).standard_normal((2, 3200)).astype(np.float32)
     )
     p = m.init(jax.random.key(0), wav)
     logits = m.apply(p, wav)
-    assert logits.shape == (2, 6400 // 320, VOCAB_SIZE)
+    assert logits.shape == (2, 3200 // 320, VOCAB_SIZE)
 
-    labels, pads = ctc_asr.pad_labels([[1, 2, 3], [4, 5]], 8)
+    labels, pads = ctc_asr.pad_labels([[1, 2], [3]], 4)
 
     def loss(p):
         return ctc_asr.ctc_loss_fn(
