@@ -53,6 +53,9 @@ def test_codes_match_golden_ref_path():
     np.testing.assert_array_equal(_compute_codes(use_pallas=False), golden)
 
 
+@pytest.mark.slow  # fast-lane budget (VERDICT r4 item 7): pallas-interpret
+# RVQ stays fast-covered by test_codec.py::test_rvq_pallas_matches_ref and
+# golden codes by test_deterministic_codec_public_api_matches_golden
 def test_codes_match_golden_pallas_path():
     golden = np.load(GOLDEN)
     np.testing.assert_array_equal(_compute_codes(use_pallas=True), golden)

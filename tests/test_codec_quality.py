@@ -77,14 +77,17 @@ def test_trained_codec_heldout_si_sdr():
         ]
     )[..., None].astype(np.float32)
 
+    # params/rvq_state must be jit ARGUMENTS: closure-captured they become
+    # 84 MB of XLA constants and constant-folding dominates compile (~58 s
+    # on the 1-core test box; ~5 s as arguments, identical scores)
     @jax.jit
-    def roundtrip(w):
+    def roundtrip(params, rvq_state, w):
         z = model.apply(params, w, method=NeuralAudioCodec.encode)
         q = rvq_lib.quantize(rvq_state, z, use_pallas=False)
         y = model.apply(params, q.quantized, method=NeuralAudioCodec.decode)
         return si_sdr_jax(w[..., 0], y[..., 0])
 
-    scores = np.asarray(roundtrip(jnp.asarray(wav)))
+    scores = np.asarray(roundtrip(params, rvq_state, jnp.asarray(wav)))
     assert np.isfinite(scores).all()
     # the committed ch48 artifact (r4: 30k base + low-lr polish + two
     # w_si_sdr=3.0 continuation phases to 72k steps on the 6000-utterance

@@ -23,6 +23,8 @@ def test_labels_do_not_change_waveform():
     assert all(s0 < s1 for _, s0, s1 in labs)
 
 
+@pytest.mark.slow  # fast-lane budget (VERDICT r4 item 7): grad-through-CTC
+# stays fast-covered by test_train_loops.py::test_task_aware_asr_loss
 def test_ctc_encoder_shapes_and_loss_grad():
     m = ctc_asr.ConvCTCEncoder(hidden=8, context_blocks=1)
     wav = jnp.asarray(

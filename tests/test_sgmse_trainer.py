@@ -91,6 +91,8 @@ def test_train_sgmse_staged_multistep(specs_root, tmp_path):
     assert int(state.step) >= 2
 
 
+@pytest.mark.slow  # fast-lane budget (VERDICT r4 item 7): the enhance loop
+# stays fast-covered by test_make_enhance_fn + test_sgmse.py::test_enhance_end_to_end
 def test_evaluate_enhancement(specs_root):
     model = _tiny_model()
     state = model.init(jax.random.key(0), spec_shape=(1, 1, 16, 32))
