@@ -24,6 +24,8 @@ _SMALL = dict(n_ffts=(128, 256, 64), hop_lengths=(32, 64, 16),
               win_lengths=(128, 256, 64))
 
 
+@pytest.mark.slow  # fast-lane budget (VERDICT r4 item 7): the discriminator
+# forward stays fast-covered by test_adversarial_losses
 def test_discriminator_shapes(rng):
     disc = MultiScaleSTFTDiscriminator(filters=32, **_SMALL)
     y = jnp.asarray(rng.standard_normal((2, 1, 3000)).astype(np.float32))

@@ -192,6 +192,9 @@ def _cplx(rng, shape):
     )
 
 
+@pytest.mark.slow  # fast-lane budget (VERDICT r4 item 7): NCSNpp forward
+# stays fast-covered by test_score_model_train_step + test_ncsnpp_v2_forward
+# + test_attention.py::test_ncsnpp_flash_attention_parity
 def test_ncsnpp_forward(rng):
     model = NCSNpp(**TINY)
     x = _cplx(rng, (2, 2, 32, 32))  # [x_t, y] stacked on channel axis
@@ -358,6 +361,8 @@ def test_dcunet_forward(rng):
     assert out2.shape == (1, 1, 257, 30)
 
 
+@pytest.mark.slow  # fast-lane budget (VERDICT r4 item 7): DCUNet stays
+# fast-covered by test_dcunet_forward (default gfu embedding)
 def test_dcunet_ds_embedding(rng):
     from task_aware_audio_coding_perceptual_tpu.models.sgmse.dcunet import DCUNet
 
