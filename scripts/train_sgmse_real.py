@@ -67,7 +67,11 @@ def main():
     # backbone, and the SB-SDE/data-prediction path are live reference
     # configs (sgmse/backbones/ncsnpp.py:50-72, dcunet.py:100-162,
     # sdes.py:235-313) and need trained evidence, not just shape tests.
-    p.add_argument("--backbone", default="ncsnpp", choices=["ncsnpp", "dcunet"])
+    p.add_argument("--backbone", default="ncsnpp",
+                   choices=["ncsnpp", "ncsnpp_v2", "dcunet"])
+    p.add_argument("--pesq-weight", type=float, default=0.0,
+                   help="differentiable PESQ-style loss weight; the "
+                        "reference's SB recipe is 5e-4 (sgmse/README.md:76)")
     p.add_argument("--sde", default="ouve", choices=["ouve", "sbve"])
     p.add_argument("--loss-type", default=None,
                    help="score_matching (ouve default) | data_prediction (sbve default)")
@@ -120,7 +124,7 @@ def main():
     )
     n_fft = args.n_fft or (512 if args.backbone == "dcunet" else 510)
     backbone_kwargs = ()
-    if args.backbone == "ncsnpp":
+    if args.backbone in ("ncsnpp", "ncsnpp_v2"):
         backbone_kwargs = (("nf", args.nf), ("ch_mult", ch_mult),
                            ("num_res_blocks", args.num_res_blocks),
                            ("attn_resolutions", (16,)))
@@ -129,6 +133,7 @@ def main():
         sde=args.sde,
         loss_type=loss_type,
         lr=args.lr,
+        pesq_weight=args.pesq_weight,
         backbone_kwargs=backbone_kwargs,
     )
     from task_aware_audio_coding_perceptual_tpu.models.sgmse.score_model import (
